@@ -1,0 +1,3 @@
+from rendering_tpu.accel.bvh import FlatBVH, build_bvh
+
+__all__ = ["FlatBVH", "build_bvh"]

@@ -1,0 +1,58 @@
+"""CLI entry — `python -m rendering_tpu [scene.scene]`.
+
+Mirrors the reference's `main` (src/main.cpp:5-16): default scene is
+`input/simple_shapes.scene`, output is `<image_name>.bmp`. Phase timers
+match the reference's Timer names (Total time / Render scene / MSAA is
+folded into the jitted render; OBJ loading happens inside scene load).
+The reference's xdg-open auto-launch is intentionally NOT replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from rendering_tpu.models.scene import load_scene
+from rendering_tpu.render.pipeline import render
+from rendering_tpu.utils.bmp import save_bmp
+from rendering_tpu.utils.stats import RenderStats
+from rendering_tpu.utils.timer import Timer
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="TPU-native raytracer")
+    p.add_argument("scene", nargs="?", default="input/simple_shapes.scene")
+    p.add_argument("--output", default=None, help="override output path")
+    args = p.parse_args(argv)
+
+    total = Timer("Total time")
+    t_load = Timer("Scene loading")
+    scene = load_scene(args.scene)
+    settings = scene.static.settings
+    t_load.enable_output = settings.enable_output
+    total.enable_output = settings.enable_output
+    t_load.stop()
+
+    t_render = Timer("Render scene", settings.enable_output)
+    frame, aux = render(scene)
+    t_render.stop()
+
+    if settings.collect_statistics:
+        rs = RenderStats()
+        rs.add_device_counts({k: int(v) for k, v in aux["stats"].items()})
+        rs.mesh_count = sum(m.n_tris for m in scene.static.meshes)
+        rs.ac_count = sum(m.n_real_nodes for m in scene.static.meshes)
+        rs.print_stats()
+
+    if settings.image_output:
+        out = args.output or (settings.image_name + ".bmp")
+        save_bmp(out, frame)
+        if settings.enable_output:
+            print(f"Successfully wrote to output file {out}")
+
+    total.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,304 @@
+"""Scene pytree — the device-side scene representation.
+
+The reference keeps a polymorphic object graph (`Scene` owning
+`vector<unique_ptr<Object>>` / `vector<unique_ptr<Light>>`,
+include/scene.h:68-100). TPU-native, the scene is a PYTREE of
+struct-of-arrays leaves: spheres/planes as (N, 3) tables, each mesh as
+flat triangle + BVH arrays, lights as small per-light pytrees with
+static kind, materials as per-object parameter rows. Every float leaf
+is a differentiable input to the renderer; everything shape- or
+branch-determining lives in `SceneStatic` (a hashable meta field, so
+`jax.jit` specializes on it automatically).
+
+Material enum order matches the reference (include/objects.h:17):
+0=Diffuse, 1=Reflective, 2=Transparent, 3=Phong.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rendering_tpu.accel.bvh import FlatBVH, build_bvh
+from rendering_tpu.models.objloader import euler_matrix
+from rendering_tpu.models.parser import SceneDef, parse_scene
+from rendering_tpu.models.settings import RenderSettings
+
+MAT_DIFFUSE, MAT_REFLECTIVE, MAT_TRANSPARENT, MAT_PHONG = 0, 1, 2, 3
+_MAT_IDS = {
+    "diffuse": MAT_DIFFUSE,
+    "reflective": MAT_REFLECTIVE,
+    "transparent": MAT_TRANSPARENT,
+    "phong": MAT_PHONG,
+}
+KIND_SPHERE, KIND_PLANE, KIND_MESH = 0, 1, 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshStatic:
+    n_tris: int
+    n_nodes: int
+    leaf_chunk: int
+    n_real_nodes: int
+    dmap_wh: tuple[int, int] = (0, 0)
+    nmap_wh: tuple[int, int] = (0, 0)
+    smap_wh: tuple[int, int] = (0, 0)
+
+    @property
+    def has_diffuse_map(self) -> bool:
+        return self.dmap_wh[0] > 0
+
+    @property
+    def has_normal_map(self) -> bool:
+        return self.nmap_wh[0] > 0
+
+    @property
+    def has_specular_map(self) -> bool:
+        return self.smap_wh[0] > 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    settings: RenderSettings
+    obj_kinds: tuple[int, ...]      # KIND_* per object, scene order
+    obj_subs: tuple[int, ...]       # index within the kind's table
+    mat_types: tuple[int, ...]      # MAT_* per object (static copy)
+    light_kinds: tuple[str, ...]    # "distant" | "point" | "area"
+    light_samples: tuple[int, ...]
+    meshes: tuple[MeshStatic, ...]
+    skybox_wh: tuple[int, int] = (0, 0)
+
+    @property
+    def n_objects(self) -> int:
+        return len(self.obj_kinds)
+
+    @property
+    def n_spheres(self) -> int:
+        return sum(1 for k in self.obj_kinds if k == KIND_SPHERE)
+
+    @property
+    def n_planes(self) -> int:
+        return sum(1 for k in self.obj_kinds if k == KIND_PLANE)
+
+    @property
+    def n_meshes(self) -> int:
+        return len(self.meshes)
+
+    @property
+    def has_skybox(self) -> bool:
+        return self.skybox_wh[0] > 0
+
+    @property
+    def any_bouncing(self) -> bool:
+        """True if any material spawns secondary rays."""
+        return any(m in (MAT_REFLECTIVE, MAT_TRANSPARENT) for m in self.mat_types)
+
+    @property
+    def any_transparent(self) -> bool:
+        return any(m == MAT_TRANSPARENT for m in self.mat_types)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MeshData:
+    v: jnp.ndarray          # (T, 3, 3)
+    n: jnp.ndarray          # (T, 3, 3)
+    uv: jnp.ndarray         # (T, 3, 2)
+    tangent: jnp.ndarray    # (T, 3)
+    bitangent: jnp.ndarray  # (T, 3)
+    node_min: jnp.ndarray   # (N, 3)
+    node_max: jnp.ndarray   # (N, 3)
+    skip: jnp.ndarray       # (N,) i32
+    leaf_start: jnp.ndarray  # (N,) i32
+    leaf_count: jnp.ndarray  # (N,) i32
+    real_flag: jnp.ndarray   # (N,) i32
+    leaf_tris: jnp.ndarray   # (L,) i32
+    diffuse_map: Optional[jnp.ndarray]   # (Hd*Wd, 3) or None
+    normal_map: Optional[jnp.ndarray]    # (Hn*Wn, 3) or None
+    specular_map: Optional[jnp.ndarray]  # (Hs*Ws,) or None
+    leaf_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LightData:
+    color: jnp.ndarray      # (3,)
+    intensity: jnp.ndarray  # ()
+    dir: jnp.ndarray        # (3,) distant — normalized
+    pos: jnp.ndarray        # (3,) point / area
+    ivec: jnp.ndarray       # (3,) area basis
+    jvec: jnp.ndarray       # (3,)
+    kind: str = dataclasses.field(metadata=dict(static=True), default="point")
+    samples: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneData:
+    cam_pos: jnp.ndarray    # (3,)
+    cam_rmat: jnp.ndarray   # (3, 3) row-vector convention: d' = d @ R
+    scale: jnp.ndarray      # () tan(fov/2)
+    bg_color: jnp.ndarray   # (3,)
+    bias: jnp.ndarray       # ()
+    obj_color: jnp.ndarray  # (No, 3)
+    obj_ior: jnp.ndarray    # (No,)
+    obj_ambient: jnp.ndarray   # (No,)
+    obj_diffuse: jnp.ndarray   # (No,)
+    obj_specular: jnp.ndarray  # (No,)
+    obj_nspec: jnp.ndarray     # (No,)
+    mat_type: jnp.ndarray      # (No,) i32
+    sph_pos: jnp.ndarray    # (Ns, 3)
+    sph_r: jnp.ndarray      # (Ns,)
+    pln_pos: jnp.ndarray    # (Np, 3)
+    pln_n: jnp.ndarray      # (Np, 3) normalized
+    meshes: tuple           # tuple[MeshData, ...]
+    lights: tuple           # tuple[LightData, ...]
+    skybox: Optional[jnp.ndarray]  # (6, H, W, 3)
+    static: SceneStatic = dataclasses.field(metadata=dict(static=True), default=None)
+
+
+def _normalize_host(v):
+    v = np.asarray(v, dtype=np.float32)
+    l2 = float(np.sum(v * v))
+    return v / np.sqrt(l2) if l2 > 0 else v
+
+
+def build_scene(sd: SceneDef) -> SceneData:
+    st = sd.settings
+    f32 = np.float32
+
+    obj_kinds, obj_subs, mat_types = [], [], []
+    colors, iors, ambients, diffuses, speculars, nspecs = [], [], [], [], [], []
+    sph_pos, sph_r = [], []
+    pln_pos, pln_n = [], []
+    meshes, mesh_statics = [], []
+
+    for o in sd.objects:
+        mat_types.append(_MAT_IDS[o.material])
+        colors.append(o.color)
+        iors.append(o.ior)
+        ambients.append(o.ambient)
+        diffuses.append(o.diffuse)
+        speculars.append(o.specular)
+        nspecs.append(o.n_specular)
+        if o.kind == "sphere":
+            obj_kinds.append(KIND_SPHERE)
+            obj_subs.append(len(sph_pos))
+            sph_pos.append(o.pos)
+            sph_r.append(o.radius)
+        elif o.kind == "plane":
+            obj_kinds.append(KIND_PLANE)
+            obj_subs.append(len(pln_pos))
+            pln_pos.append(o.pos)
+            pln_n.append(_normalize_host(o.normal))
+        elif o.kind == "mesh":
+            obj_kinds.append(KIND_MESH)
+            obj_subs.append(len(meshes))
+            m = o.mesh
+            if m is None:
+                raise ValueError("mesh object without loaded OBJ (missing name=)")
+            bvh: FlatBVH = build_bvh(
+                m.v, m.root_bounds, ac_penalty=st.ac_penalty,
+                leaf_chunk=st.leaf_chunk,
+            )
+            meshes.append(
+                MeshData(
+                    v=jnp.asarray(m.v),
+                    n=jnp.asarray(m.n),
+                    uv=jnp.asarray(m.uv),
+                    tangent=jnp.asarray(m.tangent),
+                    bitangent=jnp.asarray(m.bitangent),
+                    node_min=jnp.asarray(bvh.node_min),
+                    node_max=jnp.asarray(bvh.node_max),
+                    skip=jnp.asarray(bvh.skip),
+                    leaf_start=jnp.asarray(bvh.leaf_start),
+                    leaf_count=jnp.asarray(bvh.leaf_count),
+                    real_flag=jnp.asarray(bvh.real_flag),
+                    leaf_tris=jnp.asarray(bvh.leaf_tris),
+                    diffuse_map=(
+                        jnp.asarray(o.diffuse_map) if o.diffuse_map is not None else None
+                    ),
+                    normal_map=(
+                        jnp.asarray(o.normal_map) if o.normal_map is not None else None
+                    ),
+                    specular_map=(
+                        jnp.asarray(o.specular_map)
+                        if o.specular_map is not None
+                        else None
+                    ),
+                    leaf_chunk=st.leaf_chunk,
+                )
+            )
+            mesh_statics.append(
+                MeshStatic(
+                    n_tris=m.n_tris,
+                    n_nodes=bvh.n_nodes,
+                    leaf_chunk=st.leaf_chunk,
+                    n_real_nodes=bvh.n_real_nodes,
+                    dmap_wh=o.diffuse_map_wh if o.diffuse_map is not None else (0, 0),
+                    nmap_wh=o.normal_map_wh if o.normal_map is not None else (0, 0),
+                    smap_wh=o.specular_map_wh if o.specular_map is not None else (0, 0),
+                )
+            )
+        else:
+            raise ValueError(f"unknown object kind {o.kind}")
+
+    lights = tuple(
+        LightData(
+            color=jnp.asarray(l.color, jnp.float32),
+            intensity=jnp.asarray(l.intensity, jnp.float32),
+            dir=jnp.asarray(_normalize_host(l.dir)),
+            pos=jnp.asarray(l.pos, jnp.float32),
+            ivec=jnp.asarray(l.i, jnp.float32),
+            jvec=jnp.asarray(l.j, jnp.float32),
+            kind=l.kind,
+            samples=l.samples,
+        )
+        for l in sd.lights
+    )
+
+    static = SceneStatic(
+        settings=st,
+        obj_kinds=tuple(obj_kinds),
+        obj_subs=tuple(obj_subs),
+        mat_types=tuple(mat_types),
+        light_kinds=tuple(l.kind for l in sd.lights),
+        light_samples=tuple(l.samples for l in sd.lights),
+        meshes=tuple(mesh_statics),
+        skybox_wh=sd.skybox_wh,
+    )
+
+    no = len(sd.objects)
+    scale = np.tan(f32(st.fov) * f32(0.5) / f32(180.0) * f32(np.pi))
+
+    return SceneData(
+        cam_pos=jnp.asarray(sd.cam_pos, jnp.float32),
+        cam_rmat=jnp.asarray(euler_matrix(sd.cam_rot)),
+        scale=jnp.asarray(scale, jnp.float32),
+        bg_color=jnp.asarray(st.background_color, jnp.float32),
+        bias=jnp.asarray(st.bias, jnp.float32),
+        obj_color=jnp.asarray(np.asarray(colors, f32).reshape(no, 3)),
+        obj_ior=jnp.asarray(np.asarray(iors, f32)),
+        obj_ambient=jnp.asarray(np.asarray(ambients, f32)),
+        obj_diffuse=jnp.asarray(np.asarray(diffuses, f32)),
+        obj_specular=jnp.asarray(np.asarray(speculars, f32)),
+        obj_nspec=jnp.asarray(np.asarray(nspecs, f32)),
+        mat_type=jnp.asarray(np.asarray(mat_types, np.int32)),
+        sph_pos=jnp.asarray(np.asarray(sph_pos, f32).reshape(len(sph_pos), 3)),
+        sph_r=jnp.asarray(np.asarray(sph_r, f32)),
+        pln_pos=jnp.asarray(np.asarray(pln_pos, f32).reshape(len(pln_pos), 3)),
+        pln_n=jnp.asarray(np.asarray(pln_n, f32).reshape(len(pln_n), 3)),
+        meshes=tuple(meshes),
+        lights=lights,
+        skybox=jnp.asarray(sd.skybox) if sd.skybox is not None else None,
+        static=static,
+    )
+
+
+def load_scene(path: str, base_settings: RenderSettings | None = None) -> SceneData:
+    """Parse + build in one step (the `Scene(path)` constructor analogue)."""
+    return build_scene(parse_scene(path, base_settings))

@@ -1,0 +1,92 @@
+"""Render settings — the trace-time (static) configuration.
+
+Replaces the reference's two-tier config (per-scene `Options` object +
+11 process-global bools in `namespace options`, include/options.h:9-37)
+with ONE frozen dataclass. Every field here is static under jit: it
+either changes array shapes (width/height, max_ray_depth) or selects a
+different traced program (show_normals, use_ac, ...), so a settings
+change triggers a deliberate recompile.
+
+Scene-file keys map onto these fields exactly as the reference parser
+dispatches them (src/scene.cpp:146-197).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    # Options class fields (include/options.h:12-19)
+    width: int = 800
+    height: int = 600
+    bias: float = 0.0001
+    max_ray_depth: int = 10
+    n_workers: int = 32          # parity field; maps to a sharding hint on TPU
+    background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ac_penalty: int = 1
+    skybox_names: tuple[str, ...] = ()
+    image_name: str = "out"
+
+    # namespace options globals (include/options.h:23-37)
+    output_progress: bool = True
+    use_backface_culling: bool = True
+    collect_statistics: bool = False
+    enable_output: bool = True
+    image_output: bool = True
+    use_ac: bool = True
+    show_ac: bool = False
+    use_skybox: bool = False
+    use_textures: bool = True
+    show_normals: bool = False
+    enable_ssaa: bool = True
+
+    # Camera (include/scene.h:58)
+    fov: float = 60.0
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Max triangles tested per traversal step; BVH leaves are chunked to
+    # this size at flatten time so the lockstep traversal is shape-static.
+    leaf_chunk: int = 8
+    # Ray-queue capacity per bounce as a fraction of the pixel count.
+    # 1.0 reproduces the reference's full Whitted tree for any scene in
+    # which at most `width*height` secondary paths are live per bounce
+    # (always true in practice; overflow drops lowest-weight paths).
+    queue_fraction: float = 1.0
+    # Paths with throughput below this weight are terminated early.
+    # 0.0 = exact Whitted tree to max_ray_depth (reference behaviour).
+    min_weight: float = 0.0
+    # Computation dtype for the wavefront ("float32" matches reference).
+    dtype: str = "float32"
+    # Static capacity of the SSAA refinement queue as a fraction of the
+    # pixel count. Edge pixels are compacted to this many slots; if the
+    # Sobel mask exceeds it, the overflow count is reported host-side.
+    ssaa_capacity_fraction: float = 0.25
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+
+# scene-file key -> settings field for the [options] block (bool globals
+# and scalar options). Handled specially: skyboxes, background_color,
+# position, rotation (camera), image_name.
+OPTION_KEY_MAP = {
+    "outputProgress": ("output_progress", "bool"),
+    "useBackfaceCulling": ("use_backface_culling", "bool"),
+    "collectStatistics": ("collect_statistics", "bool"),
+    "enableOutput": ("enable_output", "bool"),
+    "imageOutput": ("image_output", "bool"),
+    "useAC": ("use_ac", "bool"),
+    "showAC": ("show_ac", "bool"),
+    "useSkybox": ("use_skybox", "bool"),
+    "useTextures": ("use_textures", "bool"),
+    "showNormals": ("show_normals", "bool"),
+    "width": ("width", "int"),
+    "height": ("height", "int"),
+    "fov": ("fov", "float"),
+    "n_workers": ("n_workers", "int"),
+    "max_ray_depth": ("max_ray_depth", "int"),
+    "ac_penalty": ("ac_penalty", "int"),
+    "image_name": ("image_name", "str"),
+}

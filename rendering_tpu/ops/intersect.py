@@ -1,0 +1,98 @@
+"""Primitive intersection tests, vectorized over ray/primitive batches.
+
+Each function reproduces the float32 semantics of its reference
+counterpart (cited per function). Misses return +FLT_MAX so that a
+plain first-occurrence argmin over the object axis reproduces the
+reference's strict `tNear < best` scene-order tie-breaking
+(src/scene.cpp:724-756).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rendering_tpu.ops.geometry import FLT_MAX, dot
+
+
+def intersect_spheres(ro, rd, pos, radius):
+    """Geometric ray-sphere test (Sphere::intersectObject,
+    src/objects.cpp:774-786). ro/rd: (R, 3); pos: (Ns, 3); radius: (Ns,).
+    Returns t: (R, Ns), FLT_MAX on miss."""
+    r2 = radius * radius  # r2 = powf(r, 2), scene.cpp:294
+    L = pos[None, :, :] - ro[:, None, :]          # (R, Ns, 3)
+    tca = jnp.sum(L * rd[:, None, :], axis=-1)    # (R, Ns)
+    d2 = jnp.sum(L * L, axis=-1) - tca * tca
+    inside = d2 <= r2[None, :]
+    thc = jnp.sqrt(jnp.maximum(r2[None, :] - d2, 0.0))
+    t0 = tca - thc
+    t1 = tca + thc
+    t0 = jnp.where(t0 < 0, t1, t0)
+    ok = inside & (t0 >= 0)
+    return jnp.where(ok, t0, FLT_MAX)
+
+
+def intersect_planes(ro, rd, pos, normal):
+    """Ray-plane test (Plane::intersectObject, src/objects.cpp:807-814).
+    Returns t: (R, Np), FLT_MAX on miss."""
+    denom = jnp.sum(rd[:, None, :] * normal[None, :, :], axis=-1)  # (R, Np)
+    ok_denom = jnp.abs(denom) >= 1e-8
+    safe = jnp.where(ok_denom, denom, 1.0)
+    t = jnp.sum((pos[None, :, :] - ro[:, None, :]) * normal[None, :, :], axis=-1) / safe
+    ok = ok_denom & (t >= 0)
+    return jnp.where(ok, t, FLT_MAX)
+
+
+def ray_triangle(ro, rd, v0, v1, v2, backface_culling: bool):
+    """Moller-Trumbore (Triangle::rayTriangleIntersect,
+    src/objects.cpp:59-95). Broadcasts over leading axes:
+    ro/rd: (..., 3); v0/v1/v2: (..., 3).
+    Returns (t, u, v, ok); t = FLT_MAX where not ok.
+
+    Epsilon semantics replicated exactly: with culling ON the SIGNED
+    det < 1e-8 rejects (objects.cpp:75-77); |det| < 1e-8 always rejects
+    (objects.cpp:79); u/v/t bounds are strict as in the reference.
+    """
+    v0v1 = v1 - v0
+    v0v2 = v2 - v0
+    pvec = jnp.cross(rd, v0v2)
+    det = dot(v0v1, pvec)
+    if backface_culling:
+        ok = det >= 1e-8
+    else:
+        ok = jnp.abs(det) >= 1e-8
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = ro - v0
+    u = dot(tvec, pvec) * inv_det
+    ok = ok & (u >= 0) & (u <= 1)
+    qvec = jnp.cross(tvec, v0v1)
+    v = dot(rd, qvec) * inv_det
+    ok = ok & (v >= 0) & (u + v <= 1)
+    t = dot(v0v2, qvec) * inv_det
+    ok = ok & (t >= 0)
+    return jnp.where(ok, t, FLT_MAX), u, v, ok
+
+
+def slab_test(ro, rd, bmin, bmax):
+    """AABB slab test (AccelerationStructure::intersectBox,
+    src/objects.cpp:534-570), literal transcription so IEEE inf/nan
+    corner cases match. Returns (hit, tmin, tmax) — hit is the
+    reference's boolean; tmin/tmax support ordered-traversal pruning.
+    Note the reference does NOT reject boxes entirely behind the origin
+    (no tmax >= 0 check); `hit` reproduces that."""
+    inv = 1.0 / rd
+    neg = inv < 0
+    lo = jnp.where(neg, bmax, bmin)
+    hi = jnp.where(neg, bmin, bmax)
+    tmin = (lo[..., 0] - ro[..., 0]) * inv[..., 0]
+    tmax = (hi[..., 0] - ro[..., 0]) * inv[..., 0]
+    tymin = (lo[..., 1] - ro[..., 1]) * inv[..., 1]
+    tymax = (hi[..., 1] - ro[..., 1]) * inv[..., 1]
+    hit = ~((tmin > tymax) | (tymin > tmax))
+    tmin = jnp.where(tymin > tmin, tymin, tmin)
+    tmax = jnp.where(tymax < tmax, tymax, tmax)
+    tzmin = (lo[..., 2] - ro[..., 2]) * inv[..., 2]
+    tzmax = (hi[..., 2] - ro[..., 2]) * inv[..., 2]
+    hit = hit & ~((tmin > tzmax) | (tzmin > tmax))
+    tmin = jnp.where(tzmin > tmin, tzmin, tmin)
+    tmax = jnp.where(tzmax < tmax, tzmax, tmax)
+    return hit, tmin, tmax

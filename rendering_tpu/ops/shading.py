@@ -1,0 +1,52 @@
+"""Shading math — reflect/refract/fresnel with the reference's exact
+float semantics (Render::{reflect,refract,fresnel},
+src/scene.cpp:672-722), batched over rays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rendering_tpu.ops.geometry import clamp, dot
+
+
+def reflect(direction, normal):
+    """dir - 2*dot(dir, n)*n (scene.cpp:672-675)."""
+    return direction - 2.0 * dot(direction, normal)[..., None] * normal
+
+
+def refract(direction, normal, ior):
+    """Snell refraction with TIR -> zero vector (scene.cpp:677-696).
+    direction/normal: (..., 3); ior: (...,). Returns (..., 3)."""
+    cosi = clamp(-1.0, 1.0, dot(direction, normal))
+    outside = cosi < 0
+    n1 = jnp.where(outside, 1.0, ior)
+    n2 = jnp.where(outside, ior, 1.0)
+    cosi_abs = jnp.abs(cosi)  # cosi = -cosi when outside; already >=0 inside
+    mod_normal = jnp.where(outside[..., None], normal, -normal)
+    rri = n1 / n2
+    k = 1.0 - rri * rri * (1.0 - cosi_abs * cosi_abs)
+    tir = k < 0
+    k_safe = jnp.maximum(k, 0.0)
+    out = (
+        rri[..., None] * direction
+        + (rri * cosi_abs - jnp.sqrt(k_safe))[..., None] * mod_normal
+    )
+    return jnp.where(tir[..., None], 0.0, out)
+
+
+def fresnel(direction, normal, ior):
+    """Exact Fresnel rs/rp average, kr (scene.cpp:698-722).
+    Returns kr: (...,). TIR -> 1."""
+    cosi = clamp(-1.0, 1.0, dot(direction, normal))
+    outside_medium = cosi > 0  # note: fresnel's n1/n2 swap is on cosi > 0
+    n1 = jnp.where(outside_medium, ior, 1.0)
+    n2 = jnp.where(outside_medium, 1.0, ior)
+    sint = n1 / n2 * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    tir = sint >= 1.0
+    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    cosi_a = jnp.abs(cosi)
+    rs = ((n2 * cosi_a) - (n1 * cost)) / ((n2 * cosi_a) + (n1 * cost))
+    rp = ((n1 * cosi_a) - (n2 * cost)) / ((n1 * cosi_a) + (n2 * cost))
+    kr = (rs * rs + rp * rp) / 2.0
+    return jnp.where(tir, 1.0, kr)

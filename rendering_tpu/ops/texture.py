@@ -1,0 +1,28 @@
+"""Nearest-neighbor map sampling (Mesh::{getDiffuseColor,
+getSpecularValue,getSurfaceData} map paths, src/objects.cpp:121-175).
+
+Maps live as flat (H*W, C) arrays in the reference's loadBMP layout
+(bottom-up rows, see utils/bmp.py), so the index expression
+`(int)(H*ty) * W + (int)(W*tx)` (with high-side clamping only) is
+reproduced verbatim. All gathers are differentiable w.r.t. the map
+texels (piecewise-constant w.r.t. the UVs, as in the reference).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _map_index(tx, ty, w: int, h: int):
+    wi = (w * tx).astype(jnp.int32)
+    hi = (h * ty).astype(jnp.int32)
+    wi = jnp.minimum(wi, w - 1)  # high-side clamp only (objects.cpp:146-148)
+    hi = jnp.minimum(hi, h - 1)
+    return hi * w + wi
+
+
+def sample_map(flat_map, wh, tex):
+    """flat_map: (H*W, C) or (H*W,); wh: (W, H) static; tex: (R, 2)."""
+    w, h = int(wh[0]), int(wh[1])
+    idx = _map_index(tex[:, 0], tex[:, 1], w, h)
+    return flat_map[idx]

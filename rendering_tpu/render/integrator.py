@@ -1,0 +1,611 @@
+"""Wavefront integrator — the reference's recursive `Render::castRay`
+(src/scene.cpp:672-946) unrolled into a fixed-depth bounce loop over
+struct-of-arrays ray queues.
+
+Design (TPU-first, not a port):
+* All rays of a bounce are (Q, ...) arrays; each bounce is one fused
+  pass: closest-hit -> surface data -> direct lighting (shadow rays)
+  -> material combine -> spawn continuations. Material branches are
+  computed vectorized and selected — no divergence.
+* The Whitted recursion tree becomes weighted continuation paths:
+  Reflective spawns one child with weight *= 0.8 (scene.cpp:858);
+  Transparent spawns refraction (weight*(1-kr), if kr<1) + reflection
+  (weight*kr) (scene.cpp:897-908). Contributions are linear in child
+  radiance, so the weighted path sum EQUALS the reference's tree sum.
+* With transparent materials present the two children per ray are
+  compacted back to capacity Q by a stable descending-weight sort; a
+  dropped path is always the smallest weight in flight (capacity =
+  n_rays makes drops impossible for the bundled scenes).
+* Discrete hit topology (BVH traversal, object argmin, shadow
+  visibility) is computed under stop_gradient; hit t/u/v are then
+  RE-EVALUATED differentiably from gathered primitive data, so
+  `jax.grad` flows to vertices, positions, radii, normals, materials,
+  light parameters, textures and the skybox with fixed hit topology.
+* Depth semantics match scene.cpp:760: castRay at depth > max returns
+  skybox, so the loop runs max_ray_depth+1 bounces and surviving
+  continuations take the skybox color afterwards.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rendering_tpu.models.scene import (
+    KIND_MESH,
+    KIND_PLANE,
+    KIND_SPHERE,
+    MAT_DIFFUSE,
+    MAT_PHONG,
+    MAT_REFLECTIVE,
+    MAT_TRANSPARENT,
+)
+from rendering_tpu.ops.geometry import FLT_MAX, dot, normalize
+from rendering_tpu.ops.intersect import (
+    intersect_planes,
+    intersect_spheres,
+    ray_triangle,
+)
+from rendering_tpu.ops.shading import fresnel, reflect, refract
+from rendering_tpu.ops.skybox import sample_skybox
+from rendering_tpu.ops.texture import sample_map
+from rendering_tpu.ops.traversal import traverse_bvh
+
+# Rays per sequential traversal block (bounds peak gather memory).
+DEFAULT_RAY_BLOCK = 1 << 17
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray      # (Q,) f32 — differentiable (re-evaluated)
+    obj: jnp.ndarray    # (Q,) i32 — discrete
+    hit: jnp.ndarray    # (Q,) bool
+    tri: jnp.ndarray    # (Q,) i32 (mesh hits; -1 otherwise)
+    u: jnp.ndarray      # (Q,)
+    v: jnp.ndarray      # (Q,)
+
+
+def _zero_stats():
+    return {
+        "rays_casted": jnp.zeros((), jnp.int32),
+        "accel_struct_tests": jnp.zeros((), jnp.int32),
+        "ray_tri_tests": jnp.zeros((), jnp.int32),
+    }
+
+
+def _blocked_traverse(mesh, ro, rd, t_limit, *, backface, use_ac, block):
+    """Sequential lax.map over ray blocks to bound gather temporaries."""
+    q = ro.shape[0]
+    if q <= block:
+        r = traverse_bvh(
+            mesh, ro, rd, t_limit, backface_culling=backface, use_ac=use_ac
+        )
+        return r.t, r.tri, r.box_tests, r.tri_tests
+    nb = -(-q // block)
+    pad = nb * block - q
+    ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+    tl_p = (
+        jnp.pad(t_limit, (0, pad), constant_values=0.0)
+        if t_limit is not None
+        else jnp.full((nb * block,), FLT_MAX, jnp.float32)
+    )
+
+    def one(args):
+        ro_b, rd_b, tl_b = args
+        r = traverse_bvh(
+            mesh, ro_b, rd_b, tl_b, backface_culling=backface, use_ac=use_ac
+        )
+        return r.t, r.tri, r.box_tests, r.tri_tests
+
+    t, tri, bt, tt = jax.lax.map(
+        one,
+        (ro_p.reshape(nb, block, 3), rd_p.reshape(nb, block, 3),
+         tl_p.reshape(nb, block)),
+    )
+    return t.reshape(-1)[:q], tri.reshape(-1)[:q], jnp.sum(bt), jnp.sum(tt)
+
+
+def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
+                  ray_block: int = DEFAULT_RAY_BLOCK):
+    """Closest hit over all scene objects in scene order
+    (Render::trace, src/scene.cpp:724-756). Shadow rays skip transparent
+    objects (scene.cpp:733-734). Returns (Hit, stats dict).
+
+    Differentiability: sphere/plane t's are direct jnp math; mesh t/u/v
+    are re-evaluated via Moller-Trumbore on the traversal oracle's
+    triangle id, so every returned float is differentiable.
+    """
+    st = scene.static
+    settings = st.settings
+    q = ro.shape[0]
+    stats = _zero_stats()
+    stats["rays_casted"] = jnp.asarray(q, jnp.int32)
+
+    t_sph = (
+        intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r)
+        if st.n_spheres
+        else None
+    )
+    t_pln = (
+        intersect_planes(ro, rd, scene.pln_pos, scene.pln_n)
+        if st.n_planes
+        else None
+    )
+
+    mesh_t, mesh_tri, mesh_u, mesh_v = [], [], [], []
+    for mesh in scene.meshes:
+        mesh_sg = jax.lax.stop_gradient(mesh)
+        t_d, tri_d, bt, tt = _blocked_traverse(
+            mesh_sg,
+            jax.lax.stop_gradient(ro),
+            jax.lax.stop_gradient(rd),
+            jax.lax.stop_gradient(t_limit) if t_limit is not None else None,
+            backface=settings.use_backface_culling,
+            use_ac=settings.use_ac,
+            block=ray_block,
+        )
+        stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
+        stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
+        # Differentiable re-evaluation on the selected triangle.
+        tv = mesh.v[jnp.maximum(tri_d, 0)]  # (Q, 3, 3)
+        t_r, u_r, v_r, _ = ray_triangle(
+            ro, rd, tv[:, 0], tv[:, 1], tv[:, 2], settings.use_backface_culling
+        )
+        found = tri_d >= 0
+        mesh_t.append(jnp.where(found, t_r, FLT_MAX))
+        mesh_tri.append(jnp.where(found, tri_d, -1))
+        mesh_u.append(jnp.where(found, u_r, 0.0))
+        mesh_v.append(jnp.where(found, v_r, 0.0))
+
+    cols = []
+    for oi, kind in enumerate(st.obj_kinds):
+        sub = st.obj_subs[oi]
+        if shadow and st.mat_types[oi] == MAT_TRANSPARENT:
+            cols.append(jnp.full((q,), FLT_MAX, jnp.float32))
+        elif kind == KIND_SPHERE:
+            cols.append(t_sph[:, sub])
+        elif kind == KIND_PLANE:
+            cols.append(t_pln[:, sub])
+        else:
+            cols.append(mesh_t[sub])
+    if not cols:
+        miss = jnp.full((q,), FLT_MAX, jnp.float32)
+        zi = jnp.zeros((q,), jnp.int32)
+        return (
+            Hit(miss, zi, jnp.zeros((q,), bool), zi - 1, jnp.zeros((q,)),
+                jnp.zeros((q,))),
+            stats,
+        )
+
+    t_mat = jnp.stack(cols, axis=1)  # (Q, No) in scene order
+    obj = jnp.argmin(jax.lax.stop_gradient(t_mat), axis=1).astype(jnp.int32)
+    t = jnp.take_along_axis(t_mat, obj[:, None], axis=1)[:, 0]
+    hit = t < FLT_MAX
+
+    tri = jnp.full((q,), -1, jnp.int32)
+    u = jnp.zeros((q,), jnp.float32)
+    v = jnp.zeros((q,), jnp.float32)
+    for oi, kind in enumerate(st.obj_kinds):
+        if kind == KIND_MESH:
+            sub = st.obj_subs[oi]
+            sel = obj == oi
+            tri = jnp.where(sel, mesh_tri[sub], tri)
+            u = jnp.where(sel, mesh_u[sub], u)
+            v = jnp.where(sel, mesh_v[sub], v)
+    return Hit(t, obj, hit, tri, u, v), stats
+
+
+def trace_occlusion(scene, ro, rd, dist, *, ray_block: int = DEFAULT_RAY_BLOCK):
+    """Boolean shadow query: does any non-transparent object intersect
+    strictly closer than `dist`? (trace() called with intrInfo.tNear
+    pre-set to the light distance, scene.cpp:785-787.)
+    Entirely under stop_gradient — visibility is a step function and is
+    treated as locally constant for gradients. Returns (occluded, stats).
+    """
+    st = scene.static
+    settings = st.settings
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    dist = jax.lax.stop_gradient(dist)
+    q = ro.shape[0]
+    stats = _zero_stats()
+    stats["rays_casted"] = jnp.asarray(q, jnp.int32)
+    occluded = jnp.zeros((q,), bool)
+
+    sph_mask = [
+        st.mat_types[oi] != MAT_TRANSPARENT
+        for oi, k in enumerate(st.obj_kinds)
+        if k == KIND_SPHERE
+    ]
+    pln_mask = [
+        st.mat_types[oi] != MAT_TRANSPARENT
+        for oi, k in enumerate(st.obj_kinds)
+        if k == KIND_PLANE
+    ]
+    mesh_mask = [
+        st.mat_types[oi] != MAT_TRANSPARENT
+        for oi, k in enumerate(st.obj_kinds)
+        if k == KIND_MESH
+    ]
+
+    if st.n_spheres and any(sph_mask):
+        t = intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r)
+        keep = jnp.asarray(sph_mask)[None, :]
+        occluded = occluded | jnp.any(keep & (t < dist[:, None]), axis=1)
+    if st.n_planes and any(pln_mask):
+        t = intersect_planes(ro, rd, scene.pln_pos, scene.pln_n)
+        keep = jnp.asarray(pln_mask)[None, :]
+        occluded = occluded | jnp.any(keep & (t < dist[:, None]), axis=1)
+    for mi, mesh in enumerate(scene.meshes):
+        if not mesh_mask[mi]:
+            continue
+        mesh_sg = jax.lax.stop_gradient(mesh)
+        _, tri_d, bt, tt = _blocked_traverse(
+            mesh_sg, ro, rd, dist,
+            backface=settings.use_backface_culling,
+            use_ac=settings.use_ac,
+            block=ray_block,
+        )
+        stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
+        stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
+        occluded = occluded | (tri_d >= 0)
+    return occluded, stats
+
+
+def surface_data(scene, hit: Hit, hit_point):
+    """Normal + texture coordinate at the hit (getSurfaceData
+    implementations: mesh objects.cpp:121-151, sphere :788-796, plane
+    :816-824). Returns (normal (Q, 3), tex (Q, 2))."""
+    st = scene.static
+    q = hit_point.shape[0]
+    normal = jnp.zeros((q, 3), jnp.float32)
+    tex = jnp.zeros((q, 2), jnp.float32)
+
+    for oi, kind in enumerate(st.obj_kinds):
+        sub = st.obj_subs[oi]
+        sel = (hit.obj == oi) & hit.hit
+        if kind == KIND_SPHERE:
+            n = normalize(hit_point - scene.sph_pos[sub])
+            normal = jnp.where(sel[:, None], n, normal)
+            # Sphere UV (objects.cpp:793-795): debug-only (maps exist
+            # only on meshes); stop_gradient avoids the acos'(+-1) pole.
+            n_sg = jax.lax.stop_gradient(n)
+            tx = (1.0 + jnp.arctan2(n_sg[:, 2], n_sg[:, 0]) / math.pi) * 0.5
+            ty = jnp.arccos(jnp.clip(n_sg[:, 1], -1.0, 1.0)) / math.pi
+            tex = jnp.where(sel[:, None], jnp.stack([tx, ty], -1), tex)
+        elif kind == KIND_PLANE:
+            n = jnp.broadcast_to(scene.pln_n[sub], (q, 3))
+            normal = jnp.where(sel[:, None], n, normal)
+            d = hit_point - scene.pln_pos[sub]
+            tex = jnp.where(
+                sel[:, None], jnp.stack([d[:, 0] / 15.0, d[:, 2] / 15.0], -1), tex
+            )
+        else:
+            mesh = scene.meshes[sub]
+            ms = st.meshes[sub]
+            ti = jnp.maximum(hit.tri, 0)
+            tn = mesh.n[ti]    # (Q, 3, 3)
+            tuv = mesh.uv[ti]  # (Q, 3, 2)
+            uu = hit.u[:, None]
+            vv = hit.v[:, None]
+            w0 = (1.0 - hit.u - hit.v)[:, None]
+            # texCoord = t_b*u + t_c*v + (1-u-v)*t_a (objects.cpp:124)
+            tc = tuv[:, 1] * uu + tuv[:, 2] * vv + tuv[:, 0] * w0
+            # smooth vertex normal; the /3 is a no-op under normalize
+            # (objects.cpp:127)
+            n = normalize((tn[:, 1] * uu + tn[:, 2] * vv + tn[:, 0] * w0) / 3.0)
+            if ms.has_normal_map:
+                # Tangent-space normal via the (unorthonormalized) TBN
+                # rows exactly as objects.cpp:129-150.
+                tang = mesh.tangent[ti]
+                bita = mesh.bitangent[ti]
+                tn_map = normalize(sample_map(mesh.normal_map, ms.nmap_wh, tc))
+                n = normalize(
+                    tn_map[:, 0:1] * tang + tn_map[:, 1:2] * bita + tn_map[:, 2:3] * n
+                )
+            normal = jnp.where(sel[:, None], n, normal)
+            tex = jnp.where(sel[:, None], tc, tex)
+    return normal, tex
+
+
+def object_color(scene, hit: Hit, tex):
+    """objectColor: mesh -> getDiffuseColor(tex) (diffuse map or color,
+    objects.cpp:153-163, applied for every material via scene.cpp:774);
+    sphere/plane -> object color."""
+    st = scene.static
+    color = scene.obj_color[hit.obj]
+    for oi, kind in enumerate(st.obj_kinds):
+        if kind != KIND_MESH:
+            continue
+        sub = st.obj_subs[oi]
+        ms = st.meshes[sub]
+        if ms.has_diffuse_map:
+            sel = (hit.obj == oi)[:, None]
+            color = jnp.where(
+                sel, sample_map(scene.meshes[sub].diffuse_map, ms.dmap_wh, tex),
+                color,
+            )
+    return color
+
+
+def specular_coefficient(scene, hit: Hit, tex):
+    """Phong specular coefficient: specular map if the mesh has one
+    (scene.cpp:849-852, objects.cpp:165-175), else object specular."""
+    st = scene.static
+    spec = scene.obj_specular[hit.obj]
+    for oi, kind in enumerate(st.obj_kinds):
+        if kind != KIND_MESH:
+            continue
+        sub = st.obj_subs[oi]
+        ms = st.meshes[sub]
+        if ms.has_specular_map:
+            sel = hit.obj == oi
+            spec = jnp.where(
+                sel, sample_map(scene.meshes[sub].specular_map, ms.smap_wh, tex),
+                spec,
+            )
+    return spec
+
+
+def _area_points(light):
+    """AreaLight::setPoints (src/lights.cpp:46-63): samples^2 grid
+    including both edges; samples == 1 -> the center point."""
+    s = light.samples
+    if s <= 1:
+        return light.pos[None, :]
+    ii = jnp.arange(s, dtype=jnp.float32) / jnp.float32(s - 1)
+    corner = light.pos - light.ivec / 2.0 - light.jvec / 2.0
+    pts = (
+        corner[None, None, :]
+        + ii[:, None, None] * light.ivec[None, None, :]
+        + ii[None, :, None] * light.jvec[None, None, :]
+    )
+    return pts.reshape(s * s, 3)
+
+
+def _point_falloff(intensity, d2):
+    """min(1, I / (4*pi*d2/1000)) (lights.cpp:35, scene.cpp:796)."""
+    safe = jnp.maximum(d2, 1e-30)
+    return jnp.minimum(1.0, intensity / (4.0 * math.pi * safe / 1000.0))
+
+
+def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
+    """Direct lighting over all lights, shared by every material branch
+    (the per-branch light loops at scene.cpp:780-941 compute the same
+    two sums). Returns (diffuse_comp (Q,3), spec_comp (Q,3)).
+
+    Area lights reproduce the pow-of-MEAN quirk (scene.cpp:846): the
+    specular term is pow(sum(vis*max(0,R.(-V)))/S, nspec), not the mean
+    of pows.
+    """
+    q = hit_point.shape[0]
+    diffuse_c = jnp.zeros((q, 3), jnp.float32)
+    spec_c = jnp.zeros((q, 3), jnp.float32)
+    shadow_orig = hit_point + normal * scene.bias
+
+    for light in scene.lights:
+        if light.kind == "distant":
+            ldir = jnp.broadcast_to(light.dir, (q, 3))
+            inten = jnp.broadcast_to(light.color * light.intensity, (q, 3))
+            dist = jnp.full((q,), FLT_MAX, jnp.float32)
+        elif light.kind == "point":
+            delta = hit_point - light.pos
+            d2 = dot(delta, delta)
+            inten = light.color[None, :] * _point_falloff(light.intensity, d2)[:, None]
+            ldir = normalize(delta)
+            dist = jnp.sqrt(d2)
+        else:  # area — sample grid, scene.cpp:790-806 / 826-846
+            pts = _area_points(light)  # (S, 3)
+            s_count = pts.shape[0]
+            delta = hit_point[:, None, :] - pts[None, :, :]      # (Q, S, 3)
+            dist_s = jnp.sqrt(jnp.sum(delta * delta, axis=-1))   # (Q, S)
+            ldn = normalize(delta)
+            occ, s_stats = trace_occlusion(
+                scene,
+                jnp.broadcast_to(shadow_orig[:, None, :], delta.shape).reshape(-1, 3),
+                (-ldn).reshape(-1, 3),
+                dist_s.reshape(-1),
+                ray_block=ray_block,
+            )
+            for k in stats:
+                stats[k] = stats[k] + s_stats[k]
+            vis = (~occ).reshape(q, s_count).astype(jnp.float32)
+            ndl = jnp.maximum(
+                0.0, jnp.sum(normal[:, None, :] * (-ldn), axis=-1)
+            )  # (Q, S)
+            refl_s = reflect(ldn, normal[:, None, :])             # (Q, S, 3)
+            rdv = jnp.maximum(0.0, jnp.sum(refl_s * (-rd[:, None, :]), axis=-1))
+            dsum = jnp.sum(vis * ndl, axis=1) / s_count
+            ssum = jnp.sum(vis * rdv, axis=1) / s_count
+            dc = hit_point - light.pos
+            inten = (
+                light.color[None, :]
+                * _point_falloff(light.intensity, dot(dc, dc))[:, None]
+            )
+            diffuse_c = diffuse_c + dsum[:, None] * inten
+            spec_c = spec_c + jnp.power(ssum, nspec)[:, None] * inten
+            continue
+
+        occ, s_stats = trace_occlusion(
+            scene, shadow_orig, -ldir, dist, ray_block=ray_block
+        )
+        for k in stats:
+            stats[k] = stats[k] + s_stats[k]
+        vis = (~occ).astype(jnp.float32)
+        ndl = jnp.maximum(0.0, dot(normal, -ldir))
+        diffuse_c = diffuse_c + inten * (vis * ndl)[:, None]
+        refl = reflect(ldir, normal)
+        rdv = jnp.maximum(0.0, dot(refl, -rd))
+        spec_c = spec_c + (vis * jnp.power(rdv, nspec))[:, None] * inten
+    return diffuse_c, spec_c
+
+
+class Queue(NamedTuple):
+    ro: jnp.ndarray      # (Q, 3)
+    rd: jnp.ndarray      # (Q, 3)
+    weight: jnp.ndarray  # (Q,)
+    pix: jnp.ndarray     # (Q,) i32
+    active: jnp.ndarray  # (Q,) bool
+
+
+def _bounce(scene, queue: Queue, accum, stats, *, ray_block):
+    """One castRay level for the whole queue. Returns (queue', accum')."""
+    st = scene.static
+    q = queue.ro.shape[0]
+    ro, rd, weight, pix, active = queue
+
+    hit, t_stats = trace_closest(scene, ro, rd, ray_block=ray_block)
+    for k in stats:
+        stats[k] = stats[k] + t_stats[k]
+    hit_m = hit.hit & active
+    miss_m = (~hit.hit) & active
+
+    # Miss -> skybox / background (scene.cpp:945).
+    sky = sample_skybox(
+        scene.skybox if st.settings.use_skybox else None, rd, scene.bg_color
+    )
+    contrib = jnp.where(miss_m[:, None], weight[:, None] * sky, 0.0)
+
+    hit_point = ro + rd * hit.t[:, None]
+    normal, tex = surface_data(scene, hit, hit_point)
+    obj_col = object_color(scene, hit, tex)
+    nspec = scene.obj_nspec[hit.obj]
+    mat = scene.mat_type[hit.obj]
+
+    diffuse_c, spec_c = lighting(
+        scene, hit_point, normal, rd, nspec, ray_block=ray_block, stats=stats
+    )
+
+    # Material combine (scene.cpp:780-941).
+    spec_coef = specular_coefficient(scene, hit, tex)
+    hc_diffuse = obj_col * diffuse_c
+    hc_phong = (
+        obj_col * scene.obj_ambient[hit.obj][:, None]
+        + diffuse_c * scene.obj_diffuse[hit.obj][:, None]
+        + spec_c * spec_coef[:, None]
+    )
+    hc_reflective = spec_c
+
+    ior = scene.obj_ior[hit.obj]
+    kr = fresnel(rd, normal, ior)
+    hc_transparent = spec_c * kr[:, None]
+
+    hc = jnp.where(
+        (mat == MAT_DIFFUSE)[:, None],
+        hc_diffuse,
+        jnp.where(
+            (mat == MAT_PHONG)[:, None],
+            hc_phong,
+            jnp.where((mat == MAT_REFLECTIVE)[:, None], hc_reflective,
+                      hc_transparent),
+        ),
+    )
+    contrib = contrib + jnp.where(hit_m[:, None], weight[:, None] * hc, 0.0)
+    accum = accum.at[pix].add(contrib)
+
+    # ---- continuations ----
+    bias_v = scene.bias[None, None] * normal
+    rdn = dot(rd, normal)
+
+    # Reflective child (scene.cpp:856-858): dir NOT normalized there.
+    refl_dir_r = rd - 2.0 * rdn[:, None] * normal
+    refl_orig_r = hit_point + bias_v
+
+    # Transparent children (scene.cpp:892-908).
+    outside = rdn < 0
+    refr_dir = normalize(refract(rd, normal, ior))
+    refr_orig = jnp.where(outside[:, None], hit_point - bias_v, hit_point + bias_v)
+    refl_dir_t = normalize(reflect(rd, normal))
+    refl_orig_t = jnp.where(outside[:, None], hit_point + bias_v, hit_point - bias_v)
+
+    is_refl = hit_m & (mat == MAT_REFLECTIVE)
+    is_trans = hit_m & (mat == MAT_TRANSPARENT)
+
+    min_w = st.settings.min_weight
+    if not st.any_transparent:
+        # Single continuation in place — no compaction needed.
+        new_w = jnp.where(is_refl, weight * 0.8, 0.0)
+        nq = Queue(
+            ro=jnp.where(is_refl[:, None], refl_orig_r, ro),
+            rd=jnp.where(is_refl[:, None], refl_dir_r, rd),
+            weight=new_w,
+            pix=pix,
+            active=is_refl & (new_w > min_w),
+        )
+        return nq, accum
+
+    # Two candidate children per ray -> stable top-Q by weight.
+    c1_dir = jnp.where(is_refl[:, None], refl_dir_r, refl_dir_t)
+    c1_orig = jnp.where(is_refl[:, None], refl_orig_r, refl_orig_t)
+    c1_w = jnp.where(is_refl, weight * 0.8, jnp.where(is_trans, weight * kr, 0.0))
+    c2_dir = refr_dir
+    c2_orig = refr_orig
+    c2_w = jnp.where(is_trans & (kr < 1.0), weight * (1.0 - kr), 0.0)
+
+    cand_ro = jnp.concatenate([c1_orig, c2_orig])
+    cand_rd = jnp.concatenate([c1_dir, c2_dir])
+    cand_w = jnp.concatenate([c1_w, c2_w])
+    cand_pix = jnp.concatenate([pix, pix])
+    cand_act = cand_w > min_w
+    cand_w = jnp.where(cand_act, cand_w, 0.0)
+
+    order = jnp.argsort(-jax.lax.stop_gradient(cand_w), stable=True)[:q]
+    nq = Queue(
+        ro=cand_ro[order],
+        rd=cand_rd[order],
+        weight=cand_w[order],
+        pix=cand_pix[order],
+        active=cand_act[order],
+    )
+    return nq, accum
+
+
+def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
+              ray_block: int = DEFAULT_RAY_BLOCK):
+    """Run the full bounce loop for a ray batch; scatter-add weighted
+    radiance into a (n_pixels, 3) accumulator. Returns (accum, stats).
+    """
+    st = scene.static
+    n_bounces = (st.settings.max_ray_depth + 1) if st.any_bouncing else 1
+    accum = jnp.zeros((n_pixels, 3), jnp.float32)
+    stats = _zero_stats()
+    queue = Queue(
+        ro=ro, rd=rd, weight=weight, pix=pix.astype(jnp.int32),
+        active=weight > st.settings.min_weight,
+    )
+
+    def body(carry, _):
+        queue, accum, stats = carry
+        stats = dict(stats)
+        queue, accum = _bounce(scene, queue, accum, stats, ray_block=ray_block)
+        return (queue, accum, stats), None
+
+    (queue, accum, stats), _ = jax.lax.scan(
+        body, (queue, accum, stats), None, length=n_bounces
+    )
+
+    # Depth guard: surviving continuations return the skybox
+    # (scene.cpp:760).
+    sky = sample_skybox(
+        scene.skybox if st.settings.use_skybox else None, queue.rd, scene.bg_color
+    )
+    tail = jnp.where(queue.active[:, None], queue.weight[:, None] * sky, 0.0)
+    accum = accum.at[queue.pix].add(tail)
+    return accum, stats
+
+
+def shade_normals(scene, ro, rd, *, ray_block: int = DEFAULT_RAY_BLOCK):
+    """showNormals mode (scene.cpp:771-772): first hit -> n/2 + 0.5,
+    miss -> skybox. Single bounce by construction (the reference returns
+    before any recursion)."""
+    st = scene.static
+    hit, _ = trace_closest(scene, ro, rd, ray_block=ray_block)
+    hit_point = ro + rd * hit.t[:, None]
+    normal, _ = surface_data(scene, hit, hit_point)
+    sky = sample_skybox(
+        scene.skybox if st.settings.use_skybox else None, rd, scene.bg_color
+    )
+    return jnp.where(hit.hit[:, None], normal / 2.0 + 0.5, sky)

@@ -1,0 +1,166 @@
+"""Render pipeline — the reference's `Scene::render` orchestration
+(src/scene.cpp:595-657) as jitted passes.
+
+Pass structure:
+  1. primary: full-pixel-grid wavefront integrate (replaces the 128x128
+     tile scheduler + thread pool — data parallelism over pixels is the
+     sharding axis on TPU, see rendering_tpu.parallel).
+  2. adaptive SSAA (scene.cpp:508-593): Sobel edge mask -> edge pixels
+     compacted to a static-capacity queue -> 4 subsample rays each at
+     grid offsets +0.75/+1.25 (the reference's +0.25/+0.75 plus its
+     getPixels +0.5) -> weighted scatter-mean back into the frame.
+  3. debug modes: showNormals (first-hit normals), showAC (BVH
+     node-visit heatmap, scene.cpp:607-635).
+
+Parity quirks: the last pixel row/column are never rendered by the
+reference (its tile clamp, scene.cpp:369-372) and stay black; showAC
+renders the FULL grid at +0.5 offsets and skips SSAA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rendering_tpu.ops.sobel import sobel_mask
+from rendering_tpu.ops.traversal import count_ac_nodes
+from rendering_tpu.render.integrator import (
+    DEFAULT_RAY_BLOCK,
+    _zero_stats,
+    integrate,
+    shade_normals,
+)
+from rendering_tpu.render.raygen import pixel_dirs, primary_rays
+
+
+def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    ro, rd, pix = primary_rays(scene, offset=1.0)
+    if st.settings.show_normals:
+        colors = shade_normals(scene, ro, rd, ray_block=ray_block)
+        accum = colors
+        stats = _zero_stats()
+        stats["rays_casted"] = jnp.asarray(w * h, jnp.int32)
+    else:
+        weight = jnp.ones((w * h,), jnp.float32)
+        accum, stats = integrate(
+            scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
+        )
+    frame = accum.reshape(h, w, 3)
+    # Dead last row/column (scene.cpp:369-372): never rendered, stays 0.
+    frame = frame.at[h - 1, :, :].set(0.0)
+    frame = frame.at[:, w - 1, :].set(0.0)
+    return frame, stats
+
+
+def _ssaa_pass(scene, frame, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
+    """Sobel-adaptive refinement. Returns (frame, n_masked, stats)."""
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    mask = sobel_mask(frame)
+    flat_mask = mask.reshape(-1)
+    n_masked = jnp.sum(flat_mask.astype(jnp.int32))
+
+    (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=w * h)
+    valid = idx < w * h
+    idx_c = jnp.minimum(idx, w * h - 1).astype(jnp.int32)
+    xs = (idx_c % w).astype(jnp.float32)
+    ys = (idx_c // w).astype(jnp.float32)
+
+    ros, rds, pixs, wts = [], [], [], []
+    for ox, oy in ((0.25, 0.25), (0.25, 0.75), (0.75, 0.25), (0.75, 0.75)):
+        # +0.5 from the getPixels lambda (scene.cpp:517-521).
+        rd = pixel_dirs(scene, xs, ys, ox + 0.5, oy + 0.5)
+        rds.append(rd)
+        ros.append(jnp.broadcast_to(scene.cam_pos, rd.shape))
+        pixs.append(idx_c)
+        wts.append(jnp.where(valid, 0.25, 0.0))
+    ro = jnp.concatenate(ros)
+    rd = jnp.concatenate(rds)
+    pix = jnp.concatenate(pixs)
+    weight = jnp.concatenate(wts)
+
+    if st.settings.show_normals:
+        colors = shade_normals(scene, ro, rd, ray_block=ray_block)
+        accum = (
+            jnp.zeros((w * h, 3), jnp.float32)
+            .at[pix]
+            .add(weight[:, None] * colors)
+        )
+        stats = _zero_stats()
+    else:
+        accum, stats = integrate(
+            scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
+        )
+
+    refined = accum.reshape(h, w, 3)
+    frame = jnp.where(mask[:, :, None], refined, frame)
+    return frame, n_masked, stats
+
+
+def _show_ac_pass(scene):
+    """AC heatmap (scene.cpp:607-635): per-pixel count of BVH nodes whose
+    AABB the primary ray hits (ancestors hitting too), normalized by the
+    global max. Full grid, single +0.5 offset, no SSAA."""
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    ro, rd, _ = primary_rays(scene, offset=0.5)
+    counts = jnp.zeros((w * h,), jnp.int32)
+    for mesh in scene.meshes:
+        counts = counts + count_ac_nodes(
+            mesh, ro, rd, use_ac=st.settings.use_ac
+        )
+    ac_max = jnp.maximum(jnp.max(counts), 1)
+    val = counts.astype(jnp.float32) / ac_max.astype(jnp.float32)
+    return jnp.broadcast_to(val[:, None], (w * h, 3)).reshape(h, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("ray_block",))
+def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
+    """Full jitted render: returns (frame (H, W, 3) f32, aux dict).
+
+    aux contains device-side stats counters and the SSAA mask size
+    (for capacity-overflow detection host-side).
+    """
+    st = scene.static
+    settings = st.settings
+    if settings.show_ac:
+        frame = _show_ac_pass(scene)
+        return frame, {"stats": _zero_stats(),
+                       "ssaa_masked": jnp.zeros((), jnp.int32)}
+
+    frame, stats = _primary_pass(scene, ray_block=ray_block)
+    n_masked = jnp.zeros((), jnp.int32)
+    if settings.enable_ssaa:
+        capacity = max(
+            1, int(settings.width * settings.height
+                   * settings.ssaa_capacity_fraction)
+        )
+        frame, n_masked, s2 = _ssaa_pass(
+            scene, frame, capacity=capacity, ray_block=ray_block
+        )
+        for k in stats:
+            stats[k] = stats[k] + s2[k]
+    return frame, {"stats": stats, "ssaa_masked": n_masked}
+
+
+def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
+    """Host-facing render: returns (numpy frame, aux). Warns if the SSAA
+    queue capacity was exceeded (edge pixels beyond capacity keep their
+    primary-pass color)."""
+    import numpy as np
+
+    frame, aux = render_scene(scene, ray_block=ray_block)
+    frame = np.asarray(frame)
+    st = scene.static.settings
+    cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
+    n_masked = int(aux["ssaa_masked"])
+    if st.enable_ssaa and not st.show_ac and n_masked > cap:
+        print(
+            f"warning: SSAA mask ({n_masked} px) exceeded capacity ({cap}); "
+            f"raise ssaa_capacity_fraction for exact parity"
+        )
+    return frame, aux

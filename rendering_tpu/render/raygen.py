@@ -1,0 +1,56 @@
+"""Batched primary-ray generation.
+
+Replaces `Camera::getRay` + the per-pixel loops in `renderWorker`
+(src/scene.cpp:16-54, 444-468) with one broadcast over the pixel grid.
+
+Parity quirks reproduced (SURVEY section 3):
+* The reference double-adds 0.5: renderWorker passes (x+0.5, y+0.5) and
+  the getPixels lambda adds another +0.5, so the primary sample sits at
+  grid position (x+1.0, y+1.0). SSAA subsamples land at +0.75/+1.25.
+  The showAC path adds only one +0.5. Callers pass the TOTAL offset.
+* NDC: xPix = (2*sx/W - 1) * scale * aspect, yPix = -(2*sy/H - 1) *
+  scale, aspect = W/H (scene.cpp:447-457).
+* Direction = normalize((xPix, yPix, -1)) @ R (rotation applied AFTER
+  normalization, scene.cpp:52).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rendering_tpu.ops.geometry import normalize
+
+
+def pixel_dirs(scene, xs, ys, offset_x: float, offset_y: float):
+    """xs/ys: (R,) float pixel coordinates. Returns rd (R, 3)."""
+    st = scene.static.settings
+    w = jnp.float32(st.width)
+    h = jnp.float32(st.height)
+    aspect = w / h
+    x_pix = (2.0 * (xs + offset_x) / w - 1.0) * scene.scale * aspect
+    y_pix = -(2.0 * (ys + offset_y) / h - 1.0) * scene.scale
+    d = jnp.stack([x_pix, y_pix, -jnp.ones_like(x_pix)], axis=-1)
+    d = normalize(d)
+    # Row-vector rotate d @ R, written as multiply-adds: a (R,3)x(3,3)
+    # jnp matmul would use the TPU MXU's bf16 default precision and
+    # break f32 parity with the reference.
+    r = scene.cam_rmat
+    return d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
+
+
+def primary_rays(scene, offset: float = 1.0):
+    """Full-frame ray grid, row-major pixel order (pix = y*W + x).
+    Returns (ro, rd, pix) with shapes (R, 3), (R, 3), (R,)."""
+    st = scene.static.settings
+    w, h = st.width, st.height
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    rd = pixel_dirs(scene, xs, ys, offset, offset)
+    ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    return ro, rd, pix
