@@ -267,12 +267,12 @@ def load_obj(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArrays:
     duv2 = tri_uv[:, 2] - tri_uv[:, 0]
     with np.errstate(divide="ignore", invalid="ignore"):
         f = np.float32(1.0) / (duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1])
-    tangent = (
-        f[:, None] * (duv2[:, 1:2] * edge1 - duv1[:, 1:2] * edge2)
-    ).astype(np.float32)
-    bitangent = (
-        f[:, None] * (-duv2[:, 0:1] * edge1 + duv1[:, 0:1] * edge2)
-    ).astype(np.float32)
+        tangent = (
+            f[:, None] * (duv2[:, 1:2] * edge1 - duv1[:, 1:2] * edge2)
+        ).astype(np.float32)
+        bitangent = (
+            f[:, None] * (-duv2[:, 0:1] * edge1 + duv1[:, 0:1] * edge2)
+        ).astype(np.float32)
     tangent = np.where(has_uv[:, None], tangent, np.float32(0))
     bitangent = np.where(has_uv[:, None], bitangent, np.float32(0))
 

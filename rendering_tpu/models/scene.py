@@ -194,7 +194,10 @@ def build_scene(sd: SceneDef) -> SceneData:
             obj_kinds.append(KIND_PLANE)
             obj_subs.append(len(pln_pos))
             pln_pos.append(o.pos)
-            pln_n.append(_normalize_host(o.normal))
+            # NOT normalized: the scene parser assigns `normal=` directly
+            # (scene.cpp:299-301), bypassing the Plane ctor's normalize.
+            # Scene-loaded plane normals keep their raw magnitude.
+            pln_n.append(np.asarray(o.normal, dtype=np.float32))
         elif o.kind == "mesh":
             obj_kinds.append(KIND_MESH)
             obj_subs.append(len(meshes))
@@ -251,7 +254,11 @@ def build_scene(sd: SceneDef) -> SceneData:
         LightData(
             color=jnp.asarray(l.color, jnp.float32),
             intensity=jnp.asarray(l.intensity, jnp.float32),
-            dir=jnp.asarray(_normalize_host(l.dir)),
+            # NOT normalized: `direction=` is assigned raw by the parser
+            # (scene.cpp:219-223), bypassing the DistantLight ctor's
+            # normalize — N.L and the specular pow are scaled by |dir|
+            # for scene-loaded distant lights. Replicated bug-for-bug.
+            dir=jnp.asarray(l.dir, jnp.float32),
             pos=jnp.asarray(l.pos, jnp.float32),
             ivec=jnp.asarray(l.i, jnp.float32),
             jvec=jnp.asarray(l.j, jnp.float32),

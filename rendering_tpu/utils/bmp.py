@@ -40,6 +40,21 @@ def _padding(width: int) -> int:
     return 0 if width % 4 == 0 else 4 - (width * 3) % 4
 
 
+def quantize_reference(image: np.ndarray) -> np.ndarray:
+    """float -> u8 exactly like the reference writer's
+    `static_cast<char>(clamp(0,1,f) * 255)` (src/util.cpp:50) as compiled
+    by g++ -O2 on x86-64: the float->signed-char conversion of 255.0
+    (i.e. any channel >= 1.0) SATURATES to 127, while in-range values
+    truncate and wrap through the byte normally. Verified empirically —
+    no reference output ever contains byte 255; fully-saturated channels
+    read back as 127.
+    """
+    clipped = np.clip(image, 0.0, 1.0)
+    product = clipped * np.float32(255.0)
+    u8 = product.astype(np.uint8)  # truncating cast
+    return np.where(product >= 255.0, np.uint8(127), u8)
+
+
 def encode_bmp(image: np.ndarray) -> bytes:
     """Encode float image (H, W, 3) in [0,1] (row 0 = top) to BMP bytes.
 
@@ -69,7 +84,7 @@ def encode_bmp(image: np.ndarray) -> bytes:
     struct.pack_into("<I", header, 0x2A, 2835)
 
     if image.dtype.kind == "f":
-        u8 = (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)  # trunc cast
+        u8 = quantize_reference(image)
     else:
         u8 = image.astype(np.uint8)
     bgr = u8[::-1, :, ::-1]  # bottom-up rows, BGR channel order

@@ -1,0 +1,94 @@
+"""Golden-parity tests: our render vs the C++ reference's BMP output.
+
+Goldens are committed (tests/goldens/*.bmp), generated once by
+tools/gen_goldens.py from the reference binary. Comparison is on the
+reference's own quantization (see utils.bmp.quantize_reference).
+
+Tolerances: float32 op-ordering/FMA differences between g++ scalar code
+and XLA flip hit/miss at grazing silhouettes and shift u8 values by 1 at
+rounding boundaries. We assert:
+  * the overwhelming majority of interior pixels match within 1 u8 step;
+  * large diffs are confined to a silhouette-sized pixel fraction.
+The 1px image border is excluded: the reference's sobelBuffer borders
+are uninitialized memory (scene.cpp:545 + 554-567 loop bounds).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from rendering_tpu.models.scene import load_scene
+from rendering_tpu.models.settings import RenderSettings
+from rendering_tpu.render.pipeline import render
+from rendering_tpu.utils.bmp import bmp_to_image, load_bmp, quantize_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCENES = [
+    "t01_simple_shapes",
+    "t02_teapot_diffuse",
+    "t03_cow_textured",
+    "t04_skybox",
+    "t05_area",
+    "t06_backface_off",
+    "t07_no_ac",
+    "t08_shownormals",
+    "t09_showac",
+    "t10_shotgun",
+    "t11_sphere_smooth",
+]
+
+# (frac of interior pixels with u8 diff > 1, frac with diff > 8,
+#  frac of neighborhood-tolerant violations)
+DEFAULT_TOL = (0.006, 0.005, 0.0005)
+
+
+def _pool3(img, op):
+    """3x3 max/min pooling via shifted stacking (no scipy needed)."""
+    h, w = img.shape[:2]
+    pads = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            pads.append(
+                np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")[
+                    1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w
+                ]
+            )
+    return op(np.stack(pads), axis=0)
+
+
+def neighborhood_violations(ours, gold, tol=2):
+    """A pixel is OK if it lies within [min, max] of the golden's 3x3
+    neighborhood +- tol. This forgives one-pixel silhouette/shadow-edge
+    flips caused by float op-ordering (XLA FMA vs the reference's SSE2
+    scalar code) while still catching any real shading difference."""
+    gmax = _pool3(gold.astype(np.int16), np.max)
+    gmin = _pool3(gold.astype(np.int16), np.min)
+    o = ours.astype(np.int16)
+    ok = (o <= gmax + tol) & (o >= gmin - tol)
+    return ~ok.all(axis=2)
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name", SCENES)
+def test_golden(name, in_workspace):
+    scene = load_scene(f"{name}.scene", RenderSettings(ssaa_capacity_fraction=1.0))
+    frame, _aux = render(scene)
+    ours = quantize_reference(frame)
+    gold = bmp_to_image(load_bmp(os.path.join(REPO, "tests", "goldens", f"{name}.bmp")))
+    assert ours.shape == gold.shape
+    diff = np.abs(ours.astype(np.int16) - gold.astype(np.int16))
+    inner = diff[1:-1, 1:-1]
+    frac_gt1 = float((inner > 1).mean())
+    frac_gt8 = float((inner > 8).mean())
+    viol = neighborhood_violations(ours, gold)[1:-1, 1:-1]
+    frac_viol = float(viol.mean())
+    tol1, tol8, tolv = DEFAULT_TOL
+    assert frac_gt1 <= tol1, f"{name}: {frac_gt1:.4%} interior pixels differ >1"
+    assert frac_gt8 <= tol8, f"{name}: {frac_gt8:.4%} interior pixels differ >8"
+    assert frac_viol <= tolv, (
+        f"{name}: {frac_viol:.4%} interior pixels outside golden 3x3 envelope"
+    )
