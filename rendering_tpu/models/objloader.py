@@ -238,6 +238,9 @@ def load_obj(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArrays:
     fn = np.array(faces_n, dtype=np.int64).reshape(t_count, 3)
     ft = np.array(faces_uv, dtype=np.int64).reshape(t_count, 3)
 
+    if arr_n.shape[0] == 0:
+        arr_n = np.zeros((1, 3), dtype=np.float32)  # gather-safe dummy
+
     tri_v = arr_v[fv]  # (T, 3, 3)
 
     # Normals: explicit where given, else unnormalized face cross product.

@@ -23,7 +23,9 @@ def intersect_spheres(ro, rd, pos, radius):
     tca = jnp.sum(L * rd[:, None, :], axis=-1)    # (R, Ns)
     d2 = jnp.sum(L * L, axis=-1) - tca * tca
     inside = d2 <= r2[None, :]
-    thc = jnp.sqrt(jnp.maximum(r2[None, :] - d2, 0.0))
+    # double-where: sqrt(0) has an infinite derivative; guard the masked
+    # lanes so reverse-mode never sees 0 * inf.
+    thc = jnp.sqrt(jnp.where(inside, jnp.maximum(r2[None, :] - d2, 0.0), 1.0))
     t0 = tca - thc
     t1 = tca + thc
     t0 = jnp.where(t0 < 0, t1, t0)

@@ -27,7 +27,7 @@ def refract(direction, normal, ior):
     rri = n1 / n2
     k = 1.0 - rri * rri * (1.0 - cosi_abs * cosi_abs)
     tir = k < 0
-    k_safe = jnp.maximum(k, 0.0)
+    k_safe = jnp.where(tir, 1.0, k)  # guard sqrt'(0) on masked lanes
     out = (
         rri[..., None] * direction
         + (rri * cosi_abs - jnp.sqrt(k_safe))[..., None] * mod_normal
@@ -44,9 +44,22 @@ def fresnel(direction, normal, ior):
     n2 = jnp.where(outside_medium, 1.0, ior)
     sint = n1 / n2 * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
     tir = sint >= 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    cost = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(0.0, 1.0 - sint * sint)))
     cosi_a = jnp.abs(cosi)
     rs = ((n2 * cosi_a) - (n1 * cost)) / ((n2 * cosi_a) + (n1 * cost))
     rp = ((n1 * cosi_a) - (n2 * cost)) / ((n1 * cosi_a) + (n2 * cost))
     kr = (rs * rs + rp * rp) / 2.0
     return jnp.where(tir, 1.0, kr)
+
+
+def spec_pow(base, exponent):
+    """pow(max(0, base), exponent) with NaN-safe reverse mode.
+
+    jnp.power's exponent-gradient computes log(base), which is -inf at
+    base == 0 (common: every unlit specular lane), poisoning grads of
+    n_specular. Matches std::pow for base > 0, exponent > 0; base <= 0
+    maps to 0 (the reference always feeds max(0, x) with exponent > 0).
+    """
+    pos = base > 0
+    safe = jnp.where(pos, base, 1.0)
+    return jnp.where(pos, jnp.exp(exponent * jnp.log(safe)), 0.0)

@@ -49,7 +49,7 @@ from rendering_tpu.ops.intersect import (
     intersect_spheres,
     ray_triangle,
 )
-from rendering_tpu.ops.shading import fresnel, reflect, refract
+from rendering_tpu.ops.shading import fresnel, reflect, refract, spec_pow
 from rendering_tpu.ops.skybox import sample_skybox
 from rendering_tpu.ops.texture import sample_map
 from rendering_tpu.ops.traversal import traverse_bvh
@@ -426,7 +426,7 @@ def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
                 * _point_falloff(light.intensity, dot(dc, dc))[:, None]
             )
             diffuse_c = diffuse_c + dsum[:, None] * inten
-            spec_c = spec_c + jnp.power(ssum, nspec)[:, None] * inten
+            spec_c = spec_c + spec_pow(ssum, nspec)[:, None] * inten
             continue
 
         occ, s_stats = trace_occlusion(
@@ -439,7 +439,7 @@ def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
         diffuse_c = diffuse_c + inten * (vis * ndl)[:, None]
         refl = reflect(ldir, normal)
         rdv = jnp.maximum(0.0, dot(refl, -rd))
-        spec_c = spec_c + (vis * jnp.power(rdv, nspec))[:, None] * inten
+        spec_c = spec_c + (vis * spec_pow(rdv, nspec))[:, None] * inten
     return diffuse_c, spec_c
 
 
@@ -462,6 +462,10 @@ def _bounce(scene, queue: Queue, accum, stats, *, ray_block):
         stats[k] = stats[k] + t_stats[k]
     hit_m = hit.hit & active
     miss_m = (~hit.hit) & active
+    # Sanitize miss-lane t (FLT_MAX) so masked lanes stay finite: any
+    # inf/NaN in a masked forward value would poison reverse-mode
+    # through the 0 * inf chain rule.
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)
 
     # Miss -> skybox / background (scene.cpp:945).
     sky = sample_skybox(
@@ -469,7 +473,7 @@ def _bounce(scene, queue: Queue, accum, stats, *, ray_block):
     )
     contrib = jnp.where(miss_m[:, None], weight[:, None] * sky, 0.0)
 
-    hit_point = ro + rd * hit.t[:, None]
+    hit_point = ro + rd * t_safe[:, None]
     normal, tex = surface_data(scene, hit, hit_point)
     obj_col = object_color(scene, hit, tex)
     nspec = scene.obj_nspec[hit.obj]
@@ -603,7 +607,7 @@ def shade_normals(scene, ro, rd, *, ray_block: int = DEFAULT_RAY_BLOCK):
     before any recursion)."""
     st = scene.static
     hit, _ = trace_closest(scene, ro, rd, ray_block=ray_block)
-    hit_point = ro + rd * hit.t[:, None]
+    hit_point = ro + rd * jnp.where(hit.hit, hit.t, 1.0)[:, None]
     normal, _ = surface_data(scene, hit, hit_point)
     sky = sample_skybox(
         scene.skybox if st.settings.use_skybox else None, rd, scene.bg_color

@@ -1,0 +1,124 @@
+"""Gradient correctness: jax.grad of the rendered image vs central
+finite differences of our own forward (BASELINE.json metric: "pixel +
+grad allclose"). Hit topology is held fixed by construction
+(stop_gradient oracles), so FD at small eps agrees wherever no
+silhouette crosses a pixel — we use interior-lit configurations.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rendering_tpu.models.parser import LightDef, ObjectDef, SceneDef
+from rendering_tpu.models.scene import build_scene
+from rendering_tpu.models.settings import RenderSettings
+from rendering_tpu.render.pipeline import render_scene
+
+
+def _small_scene(**settings_kw):
+    st = RenderSettings(
+        width=24, height=18, enable_ssaa=False, enable_output=False,
+        output_progress=False, background_color=(0.2, 0.2, 0.25),
+        **settings_kw,
+    )
+    sd = SceneDef(settings=st)
+    sd.lights = [
+        LightDef("point", color=(1, 0.9, 0.8), intensity=0.6, pos=(0, 2, -1)),
+        LightDef("distant", color=(1, 1, 1), intensity=0.3, dir=(0.2, -1, -0.5)),
+    ]
+    sd.objects = [
+        ObjectDef("plane", pos=(0, -1.5, 0), normal=(0, 1, 0), color=(0.9, 0.9, 0.9)),
+        ObjectDef("sphere", pos=(-0.6, 0, -3), radius=0.8, color=(1, 0.2, 0.2),
+                  material="phong", ambient=0.4, diffuse=0.1, specular=0.7,
+                  n_specular=10.0),
+        ObjectDef("sphere", pos=(0.9, 0.2, -4), radius=0.9, color=(1, 1, 1),
+                  material="reflective"),
+        ObjectDef("sphere", pos=(0.2, -0.4, -2), radius=0.4, color=(1, 1, 1),
+                  material="transparent", ior=1.4),
+    ]
+    return build_scene(sd)
+
+
+def _loss(scene):
+    frame, _ = render_scene(scene)
+    # weighted pixel sum -> scalar (deterministic spatial weighting)
+    h, w = frame.shape[:2]
+    wgt = (
+        jnp.arange(h * w * 3, dtype=jnp.float32).reshape(h, w, 3) % 7 + 1
+    ) / 7.0
+    return jnp.sum(frame * wgt)
+
+
+def _fd(scene, get, set_, eps):
+    base = get(scene)
+    lo = set_(scene, base - eps)
+    hi = set_(scene, base + eps)
+    return (float(_loss(hi)) - float(_loss(lo))) / (2 * eps)
+
+
+@pytest.mark.parametrize(
+    "field,idx,eps",
+    [
+        ("light_intensity", 0, 1e-3),
+        ("obj_color", (1, 0), 1e-3),
+        ("sph_pos", (0, 1), 1e-4),
+        ("sph_r", 0, 1e-4),
+        ("obj_ambient", 1, 1e-3),
+        ("bg_color", 1, 1e-3),
+    ],
+)
+def test_grad_matches_fd(field, idx, eps):
+    scene = _small_scene()
+
+    if field == "light_intensity":
+        def get(s):
+            return float(s.lights[idx].intensity)
+
+        def set_(s, v):
+            lights = list(s.lights)
+            lights[idx] = dataclasses.replace(
+                lights[idx], intensity=jnp.asarray(v, jnp.float32)
+            )
+            return dataclasses.replace(s, lights=tuple(lights))
+
+        def grad_fn(s):
+            g = jax.grad(
+                lambda li: _loss(set_(s, li))
+            )(jnp.asarray(get(s), jnp.float32))
+            return float(g)
+    else:
+        def get(s):
+            return float(getattr(s, field)[idx] if idx is not None else getattr(s, field))
+
+        def set_(s, v):
+            arr = getattr(s, field)
+            arr = arr.at[idx].set(v)
+            return dataclasses.replace(s, **{field: arr})
+
+        def grad_fn(s):
+            g = jax.grad(lambda v: _loss(set_(s, v)))(
+                jnp.asarray(get(s), jnp.float32)
+            )
+            return float(g)
+
+    g_ad = grad_fn(scene)
+    g_fd = _fd(scene, get, set_, eps)
+    assert np.isfinite(g_ad)
+    # FD through f32 forward is noisy; require agreement to ~2% + abs slack
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.05, atol=0.5)
+
+
+def test_grad_no_nans_full_tree():
+    scene = _small_scene()
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    g = jax.grad(
+        lambda s: _loss(s),
+        allow_int=True,
+    )(scene)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f":
+            assert np.all(np.isfinite(arr)), f"non-finite grad at {path}"

@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+from rendering_tpu.models.parser import SceneError, parse_scene
+from rendering_tpu.models.scene import build_scene
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "s.scene"
+    p.write_text(text)
+    return str(p)
+
+
+def test_options_and_camera(tmp_path):
+    sd = parse_scene(
+        _write(
+            tmp_path,
+            """
+[options]
+width=123
+height = 45
+fov=90
+max_ray_depth=3
+background_color=0.1,0.2,0.3
+position=1,2,3
+rotation=10,20,30
+useBackfaceCulling=0
+image_name=foo/bar
+
+[end]
+""",
+        )
+    )
+    st = sd.settings
+    assert (st.width, st.height) == (123, 45)
+    assert st.fov == 90 and st.max_ray_depth == 3
+    assert st.background_color == (0.1, 0.2, 0.3)
+    assert not st.use_backface_culling
+    assert st.image_name == "foo/bar"
+    assert sd.cam_pos == (1, 2, 3) and sd.cam_rot == (10, 20, 30)
+
+
+def test_comments_and_block_comments(tmp_path):
+    sd = parse_scene(
+        _write(
+            tmp_path,
+            """
+[options]
+width=10   # inline comment
+######################
+height=20
+#[
+[light]
+type=point
+#]
+[object]
+type=sphere
+radius=2
+pos=0,0,-5
+
+[end]
+""",
+        )
+    )
+    # `#[` skips only until the NEXT bracketed line, which IS processed
+    # (reference semantics, scene.cpp:110-116) — so the [light] block
+    # that terminated the skip is still parsed.
+    assert len(sd.lights) == 1 and sd.lights[0].kind == "point"
+    assert len(sd.objects) == 1
+    assert sd.objects[0].kind == "sphere" and sd.objects[0].radius == 2
+
+
+def test_lights_and_materials(tmp_path):
+    sd = parse_scene(
+        _write(
+            tmp_path,
+            """
+[light]
+type=distant
+direction=0.4,-0.6,-1
+intensity=0.8
+
+[light]
+type=area
+pos=0,3,0
+i=2,0,0
+j=0,0,2
+samples=4
+
+[object]
+type=sphere
+pos=0,0,-3
+radius=1
+material=transparent,1.52
+
+[object]
+type=sphere
+pos=1,0,-3
+radius=1
+material=phong,0.4,0.1,0.7,10.0
+
+[end]
+""",
+        )
+    )
+    assert sd.lights[0].kind == "distant"
+    # direction must stay UNNORMALIZED (parser bypasses ctor normalize)
+    assert sd.lights[0].dir == (0.4, -0.6, -1)
+    assert sd.lights[1].kind == "area" and sd.lights[1].samples == 4
+    assert sd.objects[0].material == "transparent"
+    assert sd.objects[0].ior == pytest.approx(1.52)
+    o = sd.objects[1]
+    assert (o.ambient, o.diffuse, o.specular, o.n_specular) == (0.4, 0.1, 0.7, 10.0)
+
+
+def test_unknown_block_errors(tmp_path):
+    with pytest.raises(SceneError):
+        parse_scene(_write(tmp_path, "[bogus]\n"))
+
+
+def test_plane_normal_unnormalized(tmp_path):
+    sd = parse_scene(
+        _write(
+            tmp_path,
+            """
+[object]
+type=plane
+pos=0,0,0
+normal=0,2,0
+
+[end]
+""",
+        )
+    )
+    scene = build_scene(sd)
+    np.testing.assert_allclose(np.asarray(scene.pln_n[0]), [0, 2, 0])

@@ -1,0 +1,70 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from rendering_tpu.ops.shading import fresnel, reflect, refract
+
+
+def test_reflect():
+    d = jnp.array([[1.0, -1.0, 0.0]])
+    n = jnp.array([[0.0, 1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(reflect(d, n))[0], [1, 1, 0], atol=1e-6)
+
+
+def _ref_refract(d, n, ior):
+    # direct transcription of scene.cpp:677-696 as numpy oracle
+    n1, n2 = 1.0, ior
+    cosi = float(np.clip(np.dot(d, n), -1, 1))
+    mod_n = np.array(n, float)
+    if cosi < 0:
+        cosi = -cosi
+    else:
+        n1, n2 = n2, n1
+        mod_n = -mod_n
+    rri = n1 / n2
+    k = 1 - rri * rri * (1 - cosi * cosi)
+    if k < 0:
+        return np.zeros(3)
+    return rri * np.array(d) + (rri * cosi - math.sqrt(k)) * mod_n
+
+
+def _ref_fresnel(d, n, ior):
+    n1, n2 = 1.0, ior
+    cosi = float(np.clip(np.dot(d, n), -1, 1))
+    if cosi > 0:
+        n1, n2 = n2, n1
+    sint = n1 / n2 * math.sqrt(max(0.0, 1 - cosi * cosi))
+    if sint >= 1:
+        return 1.0
+    cost = math.sqrt(max(0.0, 1 - sint * sint))
+    cosi = abs(cosi)
+    rs = ((n2 * cosi) - (n1 * cost)) / ((n2 * cosi) + (n1 * cost))
+    rp = ((n1 * cosi) - (n2 * cost)) / ((n1 * cosi) + (n2 * cost))
+    return (rs * rs + rp * rp) / 2
+
+
+def test_refract_and_fresnel_against_oracle():
+    cases = []
+    for theta in (0.1, 0.7, 1.2, 1.5):
+        d = np.array([math.sin(theta), -math.cos(theta), 0.0])
+        cases.append((d, np.array([0.0, 1.0, 0.0]), 1.4))   # entering
+        cases.append((-d, np.array([0.0, 1.0, 0.0]), 1.4))  # exiting
+    for d, n, ior in cases:
+        got_r = np.asarray(
+            refract(jnp.array([d]), jnp.array([n]), jnp.array([ior]))
+        )[0]
+        np.testing.assert_allclose(got_r, _ref_refract(d, n, ior), atol=1e-6)
+        got_f = float(fresnel(jnp.array([d]), jnp.array([n]), jnp.array([ior]))[0])
+        np.testing.assert_allclose(got_f, _ref_fresnel(d, n, ior), atol=1e-6)
+
+
+def test_total_internal_reflection():
+    # exiting a dense medium at a grazing angle -> TIR
+    theta = 1.4
+    d = np.array([math.sin(theta), math.cos(theta), 0.0])  # going up, inside
+    n = np.array([0.0, 1.0, 0.0])
+    r = np.asarray(refract(jnp.array([d]), jnp.array([n]), jnp.array([1.8])))[0]
+    np.testing.assert_allclose(r, 0.0)
+    f = float(fresnel(jnp.array([d]), jnp.array([n]), jnp.array([1.8]))[0])
+    assert f == 1.0
