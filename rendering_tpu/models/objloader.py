@@ -120,18 +120,31 @@ def _apply_first_face_transform(
             norm_size[1] = norm_size[2] / (rng[2] / rng[1])
 
     rmat = euler_matrix(rot)
+
+    def rot_rows(a):
+        # Explicit multiply-adds instead of `a @ rmat`: BLAS skips
+        # 0-weighted terms, but the reference's scalar multVecMatrix
+        # propagates NaN through them (degenerate-axis meshes!).
+        return np.stack(
+            [
+                a[:, 0] * rmat[0, j] + a[:, 1] * rmat[1, j] + a[:, 2] * rmat[2, j]
+                for j in range(3)
+            ],
+            axis=1,
+        ).astype(np.float32)
+
     with np.errstate(divide="ignore", invalid="ignore"):
         vv = (norm_size * ((v - vmin) / rng - np.float32(0.5))).astype(np.float32)
-    vv = (vv @ rmat).astype(np.float32)
+    vv = rot_rows(vv)
     vv = (vv + pos).astype(np.float32)
     # Degenerate axes snapped to pos AFTER rotation (objects.cpp:317-319).
     for ax in range(3):
         if rng[ax] < bias:
             vv[:, ax] = pos[ax]
 
-    nn = (nrm @ rmat).astype(np.float32)
+    nn = rot_rows(nrm) if nrm.shape[0] else nrm
 
-    rot_size = np.abs(norm_size @ rmat).astype(np.float32)
+    rot_size = np.abs(rot_rows(norm_size[None, :])[0]).astype(np.float32)
     root_bounds = np.stack([pos - rot_size / 2, pos + rot_size / 2]).astype(np.float32)
     return vv, nn, root_bounds
 

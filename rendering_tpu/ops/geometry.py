@@ -38,3 +38,30 @@ def normalize(a):
 
 def clamp(low, high, val):
     return jnp.maximum(low, jnp.minimum(high, val))
+
+
+def pvary_like(tree, *refs):
+    """Align a pytree's shard_map varying-axis types (vma) with the
+    union of the reference arrays' vma. No-op outside shard_map. Needed
+    for lax.scan/while_loop carries whose init values are unvarying
+    constants (jnp.zeros etc.) while the loop body mixes in per-shard
+    data."""
+    import jax
+
+    vma = set()
+    for r in refs:
+        try:
+            vma |= set(jax.typeof(r).vma)
+        except AttributeError:  # pragma: no cover
+            pass
+    if not vma:
+        return tree
+
+    def pv(x):
+        have = set(getattr(jax.typeof(x), "vma", ()))
+        missing = tuple(a for a in vma if a not in have)
+        return jax.lax.pvary(x, missing) if missing else x
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(pv, tree)

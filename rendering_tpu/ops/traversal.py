@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rendering_tpu.ops.geometry import FLT_MAX
+from rendering_tpu.ops.geometry import FLT_MAX, pvary_like
 from rendering_tpu.ops.intersect import ray_triangle, slab_test
 
 
@@ -138,6 +138,7 @@ def traverse_bvh(
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
+    init = pvary_like(init, ro, rd, *( (t_limit,) if t_limit is not None else () ))
     cur, t_best, tri_best, u_best, v_best, box_ct, tri_ct = jax.lax.while_loop(
         cond, body, init
     )
@@ -174,7 +175,8 @@ def count_ac_nodes(mesh, ro: jnp.ndarray, rd: jnp.ndarray, *, use_ac: bool = Tru
         nxt = jnp.where(descend, cur + 1, mesh.skip[node].astype(jnp.int32))
         return jnp.where(active, nxt, cur), count
 
-    _, count = jax.lax.while_loop(
-        cond, body, (jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32))
+    init = pvary_like(
+        (jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32)), ro, rd
     )
+    _, count = jax.lax.while_loop(cond, body, init)
     return count

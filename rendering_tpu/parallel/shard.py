@@ -1,0 +1,222 @@
+"""Scale-out: rays sharded over a device mesh, scene replicated.
+
+TPU-native replacement for the reference's entire parallelism story —
+the 128x128 tile scheduler + bounded thread pool (src/scene.cpp:362-506)
+becomes a 1-D `jax.sharding.Mesh` over all chips with the pixel/ray
+axis sharded via `shard_map` (SURVEY section 5.8):
+
+* primary pass: each device integrates a contiguous row-major pixel
+  block (the "tiles"); ray queues (bounce continuations) stay
+  device-local, exactly like tiles stay thread-local in the reference.
+  No communication at all until the frame is assembled (the output IS
+  the sharded framebuffer).
+* adaptive SSAA: the Sobel mask is computed on the (small) replicated
+  frame; compacted edge-pixel indices are sharded evenly across
+  devices; each device scatter-adds its refined subsamples into a
+  full-size accumulator which is psum'd — one all-reduce of an
+  (H*W, 3) buffer per refinement pass.
+* gradients: under `jax.grad`, shard_map's partitioned AD inserts the
+  psum for the replicated scene parameters automatically — the
+  all-reduce over ICI IS the gradient aggregation.
+
+Multi-host: the same code runs under `jax.distributed.initialize`; the
+mesh then spans all processes' devices (rays sharded across hosts, DCN
+only sees the SSAA psum + grad reductions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rendering_tpu.ops.sobel import sobel_mask
+from rendering_tpu.ops.traversal import count_ac_nodes
+from rendering_tpu.render.integrator import (
+    DEFAULT_RAY_BLOCK,
+    _zero_stats,
+    integrate,
+    shade_normals,
+)
+from rendering_tpu.render.raygen import pixel_dirs
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7 style
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def _primary_sharded(scene, mesh: Mesh, *, ray_block):
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    ndev = mesh.devices.size
+    r = w * h
+    rp = _pad_to(r, ndev)
+
+    pix = jnp.arange(rp, dtype=jnp.int32)
+    xs = (pix % w).astype(jnp.float32)
+    ys = jnp.minimum(pix // w, h - 1).astype(jnp.float32)
+
+    def local(scene, xs_l, ys_l):
+        rd = pixel_dirs(scene, xs_l, ys_l, 1.0, 1.0)
+        ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
+        nloc = xs_l.shape[0]
+        if st.settings.show_normals:
+            accum = shade_normals(scene, ro, rd, ray_block=ray_block)
+            stats = _zero_stats()
+            stats["rays_casted"] = jnp.asarray(nloc, jnp.int32)
+        else:
+            accum, stats = integrate(
+                scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
+                jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
+                ray_block=ray_block,
+            )
+        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
+        return accum, stats
+
+    accum, stats = _shard_map(
+        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
+        out_specs=(P("rays"), P()),
+    )(scene, xs, ys)
+
+    frame = accum[:r].reshape(h, w, 3)
+    frame = frame.at[h - 1, :, :].set(0.0)
+    frame = frame.at[:, w - 1, :].set(0.0)
+    return frame, stats
+
+
+def _ssaa_sharded(scene, frame, mesh: Mesh, *, capacity, ray_block):
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    ndev = mesh.devices.size
+    cap = _pad_to(capacity, ndev)
+
+    mask = sobel_mask(frame)
+    flat_mask = mask.reshape(-1)
+    n_masked = jnp.sum(flat_mask.astype(jnp.int32))
+    (idx,) = jnp.nonzero(flat_mask, size=cap, fill_value=w * h)
+    valid = idx < w * h
+    idx_c = jnp.minimum(idx, w * h - 1).astype(jnp.int32)
+
+    def local(scene, idx_l, valid_l):
+        xs = (idx_l % w).astype(jnp.float32)
+        ys = (idx_l // w).astype(jnp.float32)
+        ros, rds, pixs, wts = [], [], [], []
+        for ox, oy in ((0.25, 0.25), (0.25, 0.75), (0.75, 0.25), (0.75, 0.75)):
+            rd = pixel_dirs(scene, xs, ys, ox + 0.5, oy + 0.5)
+            rds.append(rd)
+            ros.append(jnp.broadcast_to(scene.cam_pos, rd.shape))
+            pixs.append(idx_l)
+            wts.append(jnp.where(valid_l, 0.25, 0.0))
+        ro = jnp.concatenate(ros)
+        rd = jnp.concatenate(rds)
+        pixk = jnp.concatenate(pixs)
+        wt = jnp.concatenate(wts)
+        if st.settings.show_normals:
+            colors = shade_normals(scene, ro, rd, ray_block=ray_block)
+            accum = (
+                jnp.zeros((w * h, 3), jnp.float32)
+                .at[pixk]
+                .add(wt[:, None] * colors)
+            )
+            stats = _zero_stats()
+        else:
+            accum, stats = integrate(
+                scene, ro, rd, pixk, wt, n_pixels=w * h, ray_block=ray_block
+            )
+        # Refined pixels are disjoint across devices -> psum assembles.
+        accum = jax.lax.psum(accum, "rays")
+        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
+        return accum, stats
+
+    accum, stats = _shard_map(
+        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
+        out_specs=(P(), P()),
+    )(scene, idx_c, valid)
+
+    refined = accum.reshape(h, w, 3)
+    frame = jnp.where(mask[:, :, None], refined, frame)
+    return frame, n_masked, stats
+
+
+def _show_ac_sharded(scene, mesh: Mesh):
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    ndev = mesh.devices.size
+    r = w * h
+    rp = _pad_to(r, ndev)
+    pix = jnp.arange(rp, dtype=jnp.int32)
+    xs = (pix % w).astype(jnp.float32)
+    ys = jnp.minimum(pix // w, h - 1).astype(jnp.float32)
+
+    def local(scene, xs_l, ys_l):
+        rd = pixel_dirs(scene, xs_l, ys_l, 0.5, 0.5)
+        ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
+        counts = jnp.zeros((xs_l.shape[0],), jnp.int32)
+        for mesh_data in scene.meshes:
+            counts = counts + count_ac_nodes(
+                mesh_data, ro, rd, use_ac=st.settings.use_ac
+            )
+        return counts
+
+    counts = _shard_map(
+        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
+        out_specs=P("rays"),
+    )(scene, xs, ys)[:r]
+    ac_max = jnp.maximum(jnp.max(counts), 1)
+    val = counts.astype(jnp.float32) / ac_max.astype(jnp.float32)
+    return jnp.broadcast_to(val[:, None], (r, 3)).reshape(h, w, 3)
+
+
+def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
+    """Jittable sharded render over `mesh` (1-D, axis 'rays').
+    Returns (frame (H, W, 3), aux) identical (up to f32 scheduling) to
+    rendering_tpu.render.pipeline.render_scene."""
+    st = scene.static
+    settings = st.settings
+    if settings.show_ac:
+        frame = _show_ac_sharded(scene, mesh)
+        return frame, {"stats": _zero_stats(),
+                       "ssaa_masked": jnp.zeros((), jnp.int32)}
+    frame, stats = _primary_sharded(scene, mesh, ray_block=ray_block)
+    n_masked = jnp.zeros((), jnp.int32)
+    if settings.enable_ssaa:
+        capacity = max(
+            1,
+            int(settings.width * settings.height
+                * settings.ssaa_capacity_fraction),
+        )
+        frame, n_masked, s2 = _ssaa_sharded(
+            scene, frame, mesh, capacity=capacity, ray_block=ray_block
+        )
+        for k in stats:
+            stats[k] = stats[k] + s2[k]
+    return frame, {"stats": stats, "ssaa_masked": n_masked}
+
+
+def render_sharded(scene, mesh: Mesh | None = None,
+                   ray_block: int = DEFAULT_RAY_BLOCK):
+    """Host-facing sharded render (jits per (scene.static, mesh))."""
+    mesh = mesh or make_ray_mesh()
+    fn = _cached_sharded_fn(mesh, ray_block)
+    frame, aux = fn(scene)
+    return np.asarray(frame), aux
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_sharded_fn(mesh: Mesh, ray_block: int):
+    return jax.jit(
+        functools.partial(render_scene_sharded, mesh=mesh, ray_block=ray_block)
+    )

@@ -43,7 +43,7 @@ from rendering_tpu.models.scene import (
     MAT_REFLECTIVE,
     MAT_TRANSPARENT,
 )
-from rendering_tpu.ops.geometry import FLT_MAX, dot, normalize
+from rendering_tpu.ops.geometry import FLT_MAX, dot, normalize, pvary_like
 from rendering_tpu.ops.intersect import (
     intersect_planes,
     intersect_spheres,
@@ -580,6 +580,12 @@ def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
         ro=ro, rd=rd, weight=weight, pix=pix.astype(jnp.int32),
         active=weight > st.settings.min_weight,
     )
+
+    # Under shard_map, scan carries must have consistent varying-axis
+    # types: align every carry leaf with the union of the ray inputs'
+    # vma (ro may be an unvarying broadcast of the replicated cam_pos
+    # while rd varies per shard).
+    accum, queue, stats = pvary_like((accum, queue, stats), ro, rd, weight, pix)
 
     def body(carry, _):
         queue, accum, stats = carry

@@ -59,18 +59,30 @@ def test_normalize_fit_and_translate(tmp_path):
 
 
 def test_rotation_convention():
-    # 90deg yaw: row-vector convention v' = v @ R;
-    # matches the reference's multVecMatrix(mz*my*mx).
+    # 90deg yaw: the reference's multVecMatrix(mz*my*mx) row-vector
+    # convention maps +x -> +z (validated against golden renders with
+    # rotated meshes, e.g. shotgun rot=0,100,0).
     r = euler_matrix((0, 90, 0))
     v = np.array([1.0, 0.0, 0.0]) @ r
-    np.testing.assert_allclose(v, [0, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(v, [0, 0, 1], atol=1e-6)
+
+
+def test_degenerate_axis_flat_at_zero(tmp_path):
+    # floor.obj-style flat mesh AT y=0: vmax is initialized to +FLT_MIN
+    # (objects.cpp:229), so range.y = FLT_MIN (not 0!) -> 0/FLT_MIN = 0,
+    # NO NaN; x/z stay clean and y snaps to pos.y. Bug-for-bug.
+    path = _write(tmp_path, "v -1 0 -1\nv -1 0 1\nv 1 0 1\nf 1 2 3\n")
+    m = load_obj(path, size=(2, 2, 2), rot=(0, 0, 0), pos=(0, 3, 0))
+    v = m.v.reshape(-1, 3)
+    assert np.all(v[:, 1] == 3.0)
+    np.testing.assert_allclose(v[:, 0], [-1, -1, 1])
 
 
 def test_degenerate_axis_nan_propagation(tmp_path):
-    # floor.obj-style flat mesh: range.y = 0 -> 0/0 NaN propagates through
-    # rotation into ALL coords; only y is snapped to pos afterwards.
-    # Bug-for-bug with objects.cpp:306-320.
-    path = _write(tmp_path, "v -1 0 -1\nv -1 0 1\nv 1 0 1\nf 1 2 3\n")
+    # flat mesh at a NONZERO height: range.y == 0 exactly -> 0/0 NaN
+    # propagates through the rotation multiply-adds into ALL coords;
+    # only y is snapped to pos afterwards (objects.cpp:306-320).
+    path = _write(tmp_path, "v -1 5 -1\nv -1 5 1\nv 1 5 1\nf 1 2 3\n")
     m = load_obj(path, size=(2, 2, 2), rot=(0, 0, 0), pos=(0, 3, 0))
     v = m.v.reshape(-1, 3)
     assert np.all(v[:, 1] == 3.0)

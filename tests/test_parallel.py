@@ -1,0 +1,84 @@
+"""Sharding tests on the virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, set in conftest).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from rendering_tpu.models.scene import load_scene
+from rendering_tpu.models.settings import RenderSettings
+from rendering_tpu.parallel.shard import make_ray_mesh, render_sharded
+from rendering_tpu.render.pipeline import render
+
+
+def _shrink(scene, w, h, **kw):
+    st = scene.static
+    return dataclasses.replace(
+        scene,
+        static=dataclasses.replace(
+            st, settings=st.settings.replace(width=w, height=h, **kw)
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def eight_device_mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return make_ray_mesh(jax.devices())
+
+
+def test_sharded_matches_single(in_workspace, eight_device_mesh):
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 96, 64)
+    f1, _ = render(scene)
+    f8, _ = render_sharded(scene, eight_device_mesh)
+    np.testing.assert_allclose(f1, f8, atol=2e-6)
+
+
+def test_sharded_mesh_scene(in_workspace, eight_device_mesh):
+    scene = load_scene(
+        "t07_no_ac.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 80, 60)
+    f1, _ = render(scene)
+    f8, _ = render_sharded(scene, eight_device_mesh)
+    np.testing.assert_allclose(f1, f8, atol=2e-6)
+
+
+def test_sharded_grad_psum(in_workspace, eight_device_mesh):
+    """Gradient of a scalar loss w.r.t. replicated scene params under
+    shard_map must equal the single-device gradient (the partitioned-AD
+    psum is the gradient all-reduce)."""
+    import jax.numpy as jnp
+
+    from rendering_tpu.parallel.shard import render_scene_sharded
+    from rendering_tpu.render.pipeline import render_scene
+
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 48, 32, enable_ssaa=False)
+
+    def loss_single(intensity):
+        lights = list(scene.lights)
+        lights[0] = dataclasses.replace(lights[0], intensity=intensity)
+        s = dataclasses.replace(scene, lights=tuple(lights))
+        frame, _ = render_scene(s)
+        return jnp.sum(frame)
+
+    def loss_sharded(intensity):
+        lights = list(scene.lights)
+        lights[0] = dataclasses.replace(lights[0], intensity=intensity)
+        s = dataclasses.replace(scene, lights=tuple(lights))
+        frame, _ = render_scene_sharded(s, eight_device_mesh)
+        return jnp.sum(frame)
+
+    x = jnp.asarray(0.5, jnp.float32)
+    g1 = float(jax.grad(loss_single)(x))
+    g8 = float(jax.grad(loss_sharded)(x))
+    np.testing.assert_allclose(g1, g8, rtol=1e-4)
