@@ -1,0 +1,57 @@
+"""Checkpoint/resume for long renders and inverse-rendering runs.
+
+The reference is all-or-nothing (SURVEY section 5.4 — the only persisted
+artifact is the final BMP). Here: an npz of (step, params, opt_state,
+and optionally a partially-accumulated framebuffer + finished-tile
+mask) gives cheap resume on preemption — the TPU-native analogue of
+per-tile checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix, out):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out[f"{prefix}__treedef"] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8
+    )
+    for i, leaf in enumerate(leaves):
+        out[f"{prefix}__{i}"] = np.asarray(leaf)
+    return treedef
+
+
+def save_checkpoint(path: str, step: int, params, opt_state,
+                    frame: np.ndarray | None = None,
+                    tile_mask: np.ndarray | None = None) -> None:
+    out: dict = {"step": np.asarray(step)}
+    _flatten(params, "params", out)
+    _flatten(opt_state, "opt", out)
+    if frame is not None:
+        out["frame"] = np.asarray(frame)
+    if tile_mask is not None:
+        out["tile_mask"] = np.asarray(tile_mask)
+    tmp = path + ".tmp"
+    np.savez(tmp, **out)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint(path: str, params_like, opt_state_like):
+    """Restore into the same pytree structures as the templates."""
+    data = np.load(path, allow_pickle=False)
+    step = int(data["step"])
+
+    def unflatten(tree_like, prefix):
+        leaves, treedef = jax.tree_util.tree_flatten(tree_like)
+        new_leaves = [data[f"{prefix}__{i}"] for i in range(len(leaves))]
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    params = unflatten(params_like, "params")
+    opt_state = unflatten(opt_state_like, "opt")
+    frame = data["frame"] if "frame" in data else None
+    tile_mask = data["tile_mask"] if "tile_mask" in data else None
+    return step, params, opt_state, frame, tile_mask
