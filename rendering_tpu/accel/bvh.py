@@ -30,6 +30,7 @@ import sys
 import numpy as np
 
 F32 = np.float32
+FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
 @dataclasses.dataclass
@@ -45,6 +46,13 @@ class FlatBVH:
     n_real_nodes: int
     tri_copies: int         # stats::triCopiesCount equivalent
     leaf_chunk: int
+    # Per-triangle REACH box: the AABB of the union of all leaf boxes
+    # containing the triangle. The reference can only discover a
+    # triangle through rays crossing one of those leaves (leaf boxes
+    # partition the clipped root box, objects.cpp:328-330 + 737-760);
+    # dense intersection uses this to replicate the clipping.
+    reach_lo: np.ndarray = None  # (T, 3) f32
+    reach_hi: np.ndarray = None  # (T, 3) f32
 
     @property
     def n_nodes(self) -> int:
@@ -152,9 +160,15 @@ def build_bvh(
     leaf_tris: list = []
     skip: list = []
 
+    reach_lo = np.full((t_count, 3), FLT_MAX, F32)
+    reach_hi = np.full((t_count, 3), -FLT_MAX, F32)
+
     def emit(node: _Node) -> None:
         if node.tris is not None:
             tris = node.tris
+            if tris.size:
+                np.minimum.at(reach_lo, tris, node.bounds_min[None, :])
+                np.maximum.at(reach_hi, tris, node.bounds_max[None, :])
             n_chunks = max(1, -(-tris.size // leaf_chunk))
             for c in range(n_chunks):
                 chunk = tris[c * leaf_chunk : (c + 1) * leaf_chunk]
@@ -201,4 +215,6 @@ def build_bvh(
         n_real_nodes=stats["real_nodes"],
         tri_copies=stats["tri_copies"],
         leaf_chunk=leaf_chunk,
+        reach_lo=reach_lo,
+        reach_hi=reach_hi,
     )

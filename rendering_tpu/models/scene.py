@@ -110,6 +110,16 @@ class MeshData:
     uv: jnp.ndarray         # (T, 3, 2)
     tangent: jnp.ndarray    # (T, 3)
     bitangent: jnp.ndarray  # (T, 3)
+    # Transposed gather tables (component-major, minor dim = T): per-ray
+    # gathers from these produce (C, Q) buffers, which TPU tiles pad
+    # ~1.7x instead of the 42x a gathered f32[Q, 3] would cost.
+    vT: jnp.ndarray         # (9, T)
+    nT: jnp.ndarray         # (9, T)
+    uvT: jnp.ndarray        # (6, T)
+    tanT: jnp.ndarray       # (3, T)
+    bitT: jnp.ndarray       # (3, T)
+    reach_lo: jnp.ndarray   # (T, 3) — see accel.bvh.FlatBVH.reach_lo
+    reach_hi: jnp.ndarray   # (T, 3)
     node_min: jnp.ndarray   # (N, 3)
     node_max: jnp.ndarray   # (N, 3)
     skip: jnp.ndarray       # (N,) i32
@@ -121,6 +131,11 @@ class MeshData:
     normal_map: Optional[jnp.ndarray]    # (Hn*Wn, 3) or None
     specular_map: Optional[jnp.ndarray]  # (Hs*Ws,) or None
     leaf_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # True when the mesh's true AABB pokes outside the reference's root
+    # box (rotated meshes) — only then does dense intersection need the
+    # reachability filter (ops/bruteforce.make_aabb_acceptor).
+    clipped_by_root: bool = dataclasses.field(metadata=dict(static=True),
+                                              default=True)
 
 
 @jax.tree_util.register_dataclass
@@ -208,6 +223,14 @@ def build_scene(sd: SceneDef) -> SceneData:
                 m.v, m.root_bounds, ac_penalty=st.ac_penalty,
                 leaf_chunk=st.leaf_chunk,
             )
+            t_count = m.n_tris
+            if t_count:
+                clipped = bool(
+                    np.any(m.v.min(axis=(0, 1)) < m.root_bounds[0])
+                    or np.any(m.v.max(axis=(0, 1)) > m.root_bounds[1])
+                )
+            else:
+                clipped = False
             meshes.append(
                 MeshData(
                     v=jnp.asarray(m.v),
@@ -215,6 +238,13 @@ def build_scene(sd: SceneDef) -> SceneData:
                     uv=jnp.asarray(m.uv),
                     tangent=jnp.asarray(m.tangent),
                     bitangent=jnp.asarray(m.bitangent),
+                    vT=jnp.asarray(m.v.reshape(t_count, 9).T.copy()),
+                    nT=jnp.asarray(m.n.reshape(t_count, 9).T.copy()),
+                    uvT=jnp.asarray(m.uv.reshape(t_count, 6).T.copy()),
+                    tanT=jnp.asarray(m.tangent.T.copy()),
+                    bitT=jnp.asarray(m.bitangent.T.copy()),
+                    reach_lo=jnp.asarray(bvh.reach_lo),
+                    reach_hi=jnp.asarray(bvh.reach_hi),
                     node_min=jnp.asarray(bvh.node_min),
                     node_max=jnp.asarray(bvh.node_max),
                     skip=jnp.asarray(bvh.skip),
@@ -234,6 +264,7 @@ def build_scene(sd: SceneDef) -> SceneData:
                         else None
                     ),
                     leaf_chunk=st.leaf_chunk,
+                    clipped_by_root=clipped,
                 )
             )
             mesh_statics.append(

@@ -59,6 +59,16 @@ class RenderSettings:
     min_weight: float = 0.0
     # Computation dtype for the wavefront ("float32" matches reference).
     dtype: str = "float32"
+    # Meshes up to this many triangles use the dense chunked
+    # Moller-Trumbore fast path (ops/bruteforce.py) instead of the
+    # lockstep BVH walk — on TPU the gather-bound walk only wins for
+    # much larger meshes. Same hit results either way.
+    bruteforce_threshold: int = 8192
+    # Triangles tested per scan step in the dense path.
+    tri_chunk: int = 256
+    # Evaluate the dense intersection as a bilinear-form matmul on the
+    # MXU (ops/bruteforce_mxu.py) instead of direct VPU Moller-Trumbore.
+    use_mxu_intersect: bool = True
     # Static capacity of the SSAA refinement queue as a fraction of the
     # pixel count. Edge pixels are compacted to this many slots; if the
     # Sobel mask exceeds it, the overflow count is reported host-side.

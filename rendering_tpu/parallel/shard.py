@@ -13,8 +13,8 @@ axis sharded via `shard_map` (SURVEY section 5.8):
 * adaptive SSAA: the Sobel mask is computed on the (small) replicated
   frame; compacted edge-pixel indices are sharded evenly across
   devices; each device scatter-adds its refined subsamples into a
-  full-size accumulator which is psum'd — one all-reduce of an
-  (H*W, 3) buffer per refinement pass.
+  full-size accumulator which is psum'd — one all-reduce of a
+  (3, H*W) buffer per refinement pass.
 * gradients: under `jax.grad`, shard_map's partitioned AD inserts the
   psum for the replicated scene parameters automatically — the
   all-reduce over ICI IS the gradient aggregation.
@@ -22,6 +22,8 @@ axis sharded via `shard_map` (SURVEY section 5.8):
 Multi-host: the same code runs under `jax.distributed.initialize`; the
 mesh then spans all processes' devices (rays sharded across hosts, DCN
 only sees the SSAA psum + grad reductions).
+
+Frames are channel-first (3, H, W) like the single-chip pipeline.
 """
 
 from __future__ import annotations
@@ -74,36 +76,37 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
         ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
         nloc = xs_l.shape[0]
         if st.settings.show_normals:
-            accum = shade_normals(scene, ro, rd, ray_block=ray_block)
+            accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
             stats = _zero_stats()
             stats["rays_casted"] = jnp.asarray(nloc, jnp.int32)
         else:
-            accum, stats = integrate(
+            accum3, stats = integrate(
                 scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
                 jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
                 ray_block=ray_block,
             )
         stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
-        return accum, stats
+        return accum3, stats
 
-    accum, stats = _shard_map(
+    accum3, stats = _shard_map(
         local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
-        out_specs=(P("rays"), P()),
+        out_specs=(P(None, "rays"), P()),
     )(scene, xs, ys)
 
-    frame = accum[:r].reshape(h, w, 3)
-    frame = frame.at[h - 1, :, :].set(0.0)
-    frame = frame.at[:, w - 1, :].set(0.0)
-    return frame, stats
+    frame3 = accum3[:, :r].reshape(3, h, w)
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    frame3 = frame3.at[:, :, w - 1].set(0.0)
+    return frame3, stats
 
 
-def _ssaa_sharded(scene, frame, mesh: Mesh, *, capacity, ray_block):
+def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block):
+    """Sobel-adaptive refinement. Returns (frame3, n_masked, stats)."""
     st = scene.static
     w, h = st.settings.width, st.settings.height
     ndev = mesh.devices.size
     cap = _pad_to(capacity, ndev)
 
-    mask = sobel_mask(frame)
+    mask = sobel_mask(frame3)
     flat_mask = mask.reshape(-1)
     n_masked = jnp.sum(flat_mask.astype(jnp.int32))
     (idx,) = jnp.nonzero(flat_mask, size=cap, fill_value=w * h)
@@ -125,30 +128,30 @@ def _ssaa_sharded(scene, frame, mesh: Mesh, *, capacity, ray_block):
         pixk = jnp.concatenate(pixs)
         wt = jnp.concatenate(wts)
         if st.settings.show_normals:
-            colors = shade_normals(scene, ro, rd, ray_block=ray_block)
-            accum = (
-                jnp.zeros((w * h, 3), jnp.float32)
-                .at[pixk]
-                .add(wt[:, None] * colors)
+            colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+            accum3 = (
+                jnp.zeros((3, w * h), jnp.float32)
+                .at[:, pixk]
+                .add(wt[None, :] * colors3)
             )
             stats = _zero_stats()
         else:
-            accum, stats = integrate(
+            accum3, stats = integrate(
                 scene, ro, rd, pixk, wt, n_pixels=w * h, ray_block=ray_block
             )
         # Refined pixels are disjoint across devices -> psum assembles.
-        accum = jax.lax.psum(accum, "rays")
+        accum3 = jax.lax.psum(accum3, "rays")
         stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
-        return accum, stats
+        return accum3, stats
 
-    accum, stats = _shard_map(
+    accum3, stats = _shard_map(
         local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
         out_specs=(P(), P()),
     )(scene, idx_c, valid)
 
-    refined = accum.reshape(h, w, 3)
-    frame = jnp.where(mask[:, :, None], refined, frame)
-    return frame, n_masked, stats
+    refined3 = accum3.reshape(3, h, w)
+    frame3 = jnp.where(mask[None, :, :], refined3, frame3)
+    return frame3, n_masked, stats
 
 
 def _show_ac_sharded(scene, mesh: Mesh):
@@ -177,20 +180,20 @@ def _show_ac_sharded(scene, mesh: Mesh):
     )(scene, xs, ys)[:r]
     ac_max = jnp.maximum(jnp.max(counts), 1)
     val = counts.astype(jnp.float32) / ac_max.astype(jnp.float32)
-    return jnp.broadcast_to(val[:, None], (r, 3)).reshape(h, w, 3)
+    return jnp.broadcast_to(val[None, :], (3, r)).reshape(3, h, w)
 
 
 def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
     """Jittable sharded render over `mesh` (1-D, axis 'rays').
-    Returns (frame (H, W, 3), aux) identical (up to f32 scheduling) to
+    Returns (frame3 (3, H, W), aux) identical (up to f32 scheduling) to
     rendering_tpu.render.pipeline.render_scene."""
     st = scene.static
     settings = st.settings
     if settings.show_ac:
-        frame = _show_ac_sharded(scene, mesh)
-        return frame, {"stats": _zero_stats(),
-                       "ssaa_masked": jnp.zeros((), jnp.int32)}
-    frame, stats = _primary_sharded(scene, mesh, ray_block=ray_block)
+        frame3 = _show_ac_sharded(scene, mesh)
+        return frame3, {"stats": _zero_stats(),
+                        "ssaa_masked": jnp.zeros((), jnp.int32)}
+    frame3, stats = _primary_sharded(scene, mesh, ray_block=ray_block)
     n_masked = jnp.zeros((), jnp.int32)
     if settings.enable_ssaa:
         capacity = max(
@@ -198,21 +201,21 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
             int(settings.width * settings.height
                 * settings.ssaa_capacity_fraction),
         )
-        frame, n_masked, s2 = _ssaa_sharded(
-            scene, frame, mesh, capacity=capacity, ray_block=ray_block
+        frame3, n_masked, s2 = _ssaa_sharded(
+            scene, frame3, mesh, capacity=capacity, ray_block=ray_block
         )
         for k in stats:
             stats[k] = stats[k] + s2[k]
-    return frame, {"stats": stats, "ssaa_masked": n_masked}
+    return frame3, {"stats": stats, "ssaa_masked": n_masked}
 
 
 def render_sharded(scene, mesh: Mesh | None = None,
                    ray_block: int = DEFAULT_RAY_BLOCK):
-    """Host-facing sharded render (jits per (scene.static, mesh))."""
+    """Host-facing sharded render: ((H, W, 3) numpy frame, aux)."""
     mesh = mesh or make_ray_mesh()
     fn = _cached_sharded_fn(mesh, ray_block)
-    frame, aux = fn(scene)
-    return np.asarray(frame), aux
+    frame3, aux = fn(scene)
+    return np.asarray(frame3).transpose(1, 2, 0), aux
 
 
 @functools.lru_cache(maxsize=16)

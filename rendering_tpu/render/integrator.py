@@ -3,10 +3,16 @@
 struct-of-arrays ray queues.
 
 Design (TPU-first, not a port):
-* All rays of a bounce are (Q, ...) arrays; each bounce is one fused
-  pass: closest-hit -> surface data -> direct lighting (shadow rays)
-  -> material combine -> spawn continuations. Material branches are
+* All rays of a bounce are SoA batches; each bounce is one fused pass:
+  closest-hit -> surface data -> direct lighting (shadow rays) ->
+  material combine -> spawn continuations. Material branches are
   computed vectorized and selected — no divergence.
+* LAYOUT: TPU tiles pad the minor-most dimension to 128 lanes, so a
+  materialized f32[N,3] costs 42.7x its true size. Every PERSISTENT
+  per-ray vector therefore lives as (nb, 3, B) blocks (minor dim = the
+  large ray-block axis); the bounce body runs under lax.map over the
+  nb blocks, transposing to the ops' (B, 3) convention only inside the
+  fused block body where XLA keeps temporaries small.
 * The Whitted recursion tree becomes weighted continuation paths:
   Reflective spawns one child with weight *= 0.8 (scene.cpp:858);
   Transparent spawns refraction (weight*(1-kr), if kr<1) + reflection
@@ -16,7 +22,7 @@ Design (TPU-first, not a port):
   compacted back to capacity Q by a stable descending-weight sort; a
   dropped path is always the smallest weight in flight (capacity =
   n_rays makes drops impossible for the bundled scenes).
-* Discrete hit topology (BVH traversal, object argmin, shadow
+* Discrete hit topology (mesh hit oracle, object argmin, shadow
   visibility) is computed under stop_gradient; hit t/u/v are then
   RE-EVALUATED differentiably from gathered primitive data, so
   `jax.grad` flows to vertices, positions, radii, normals, materials,
@@ -54,8 +60,8 @@ from rendering_tpu.ops.skybox import sample_skybox
 from rendering_tpu.ops.texture import sample_map
 from rendering_tpu.ops.traversal import traverse_bvh
 
-# Rays per sequential traversal block (bounds peak gather memory).
-DEFAULT_RAY_BLOCK = 1 << 17
+# Rays per block of the bounce body (bounds every per-ray temporary).
+DEFAULT_RAY_BLOCK = 1 << 16
 
 
 class Hit(NamedTuple):
@@ -75,49 +81,56 @@ def _zero_stats():
     }
 
 
-def _blocked_traverse(mesh, ro, rd, t_limit, *, backface, use_ac, block):
-    """Sequential lax.map over ray blocks to bound gather temporaries."""
-    q = ro.shape[0]
-    if q <= block:
-        r = traverse_bvh(
-            mesh, ro, rd, t_limit, backface_culling=backface, use_ac=use_ac
-        )
-        return r.t, r.tri, r.box_tests, r.tri_tests
-    nb = -(-q // block)
-    pad = nb * block - q
-    ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
-    rd_p = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-    tl_p = (
-        jnp.pad(t_limit, (0, pad), constant_values=0.0)
-        if t_limit is not None
-        else jnp.full((nb * block,), FLT_MAX, jnp.float32)
-    )
+def _gather_tri9(table9, idx):
+    """Gather 9 components per index from a (9, T) transposed table into
+    three (Q, 3) vectors. The gather output is (9, Q) — minor dim large,
+    so the buffer pads ~1.7x instead of 42x for a (Q, 3, 3) gather."""
+    g = table9[:, idx]  # (9, Q)
+    a = jnp.stack([g[0], g[1], g[2]], axis=-1)
+    b = jnp.stack([g[3], g[4], g[5]], axis=-1)
+    c = jnp.stack([g[6], g[7], g[8]], axis=-1)
+    return a, b, c
 
-    def one(args):
-        ro_b, rd_b, tl_b = args
-        r = traverse_bvh(
-            mesh, ro_b, rd_b, tl_b, backface_culling=backface, use_ac=use_ac
-        )
-        return r.t, r.tri, r.box_tests, r.tri_tests
 
-    t, tri, bt, tt = jax.lax.map(
-        one,
-        (ro_p.reshape(nb, block, 3), rd_p.reshape(nb, block, 3),
-         tl_p.reshape(nb, block)),
+def _mesh_oracle(mesh, settings, ro, rd, t_limit):
+    """Discrete mesh hit: dense chunked Moller-Trumbore for shotgun-class
+    meshes (TPU fast path, zero gathers), lockstep threaded-BVH walk for
+    big meshes. Returns (tri_id, box_tests, tri_tests)."""
+    from rendering_tpu.ops.bruteforce import bruteforce_mesh
+    from rendering_tpu.ops.bruteforce_mxu import bruteforce_mesh_mxu
+
+    t_count = int(mesh.v.shape[0])
+    if t_count <= settings.bruteforce_threshold:
+        fn = (
+            bruteforce_mesh_mxu if settings.use_mxu_intersect else bruteforce_mesh
+        )
+        _t, tri, bt, tt = fn(
+            mesh, ro, rd, t_limit,
+            backface_culling=settings.use_backface_culling,
+            tri_chunk=settings.tri_chunk,
+            use_root_filter=settings.use_ac and mesh.clipped_by_root,
+        )
+        return tri, bt, tt
+    r = traverse_bvh(
+        mesh, ro, rd, t_limit,
+        backface_culling=settings.use_backface_culling,
+        use_ac=settings.use_ac,
     )
-    return t.reshape(-1)[:q], tri.reshape(-1)[:q], jnp.sum(bt), jnp.sum(tt)
+    return r.tri, r.box_tests, r.tri_tests
 
 
 def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
-                  ray_block: int = DEFAULT_RAY_BLOCK):
+                  ray_block: int | None = None):
     """Closest hit over all scene objects in scene order
     (Render::trace, src/scene.cpp:724-756). Shadow rays skip transparent
-    objects (scene.cpp:733-734). Returns (Hit, stats dict).
+    objects (scene.cpp:733-734). Returns (Hit, stats dict). Call with
+    block-sized ray batches (the bounce loop does).
 
     Differentiability: sphere/plane t's are direct jnp math; mesh t/u/v
-    are re-evaluated via Moller-Trumbore on the traversal oracle's
-    triangle id, so every returned float is differentiable.
+    are re-evaluated via Moller-Trumbore on the hit oracle's triangle
+    id, so every returned float is differentiable.
     """
+    del ray_block  # callers pass block-sized batches already
     st = scene.static
     settings = st.settings
     q = ro.shape[0]
@@ -137,22 +150,17 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
 
     mesh_t, mesh_tri, mesh_u, mesh_v = [], [], [], []
     for mesh in scene.meshes:
-        mesh_sg = jax.lax.stop_gradient(mesh)
-        t_d, tri_d, bt, tt = _blocked_traverse(
-            mesh_sg,
-            jax.lax.stop_gradient(ro),
-            jax.lax.stop_gradient(rd),
+        tri_d, bt, tt = _mesh_oracle(
+            jax.lax.stop_gradient(mesh), settings,
+            jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd),
             jax.lax.stop_gradient(t_limit) if t_limit is not None else None,
-            backface=settings.use_backface_culling,
-            use_ac=settings.use_ac,
-            block=ray_block,
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
         # Differentiable re-evaluation on the selected triangle.
-        tv = mesh.v[jnp.maximum(tri_d, 0)]  # (Q, 3, 3)
+        v0, v1, v2 = _gather_tri9(mesh.vT, jnp.maximum(tri_d, 0))
         t_r, u_r, v_r, _ = ray_triangle(
-            ro, rd, tv[:, 0], tv[:, 1], tv[:, 2], settings.use_backface_culling
+            ro, rd, v0, v1, v2, settings.use_backface_culling
         )
         found = tri_d >= 0
         mesh_t.append(jnp.where(found, t_r, FLT_MAX))
@@ -198,13 +206,14 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
     return Hit(t, obj, hit, tri, u, v), stats
 
 
-def trace_occlusion(scene, ro, rd, dist, *, ray_block: int = DEFAULT_RAY_BLOCK):
+def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
     """Boolean shadow query: does any non-transparent object intersect
     strictly closer than `dist`? (trace() called with intrInfo.tNear
     pre-set to the light distance, scene.cpp:785-787.)
     Entirely under stop_gradient — visibility is a step function and is
     treated as locally constant for gradients. Returns (occluded, stats).
     """
+    del ray_block
     st = scene.static
     settings = st.settings
     ro = jax.lax.stop_gradient(ro)
@@ -242,12 +251,8 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int = DEFAULT_RAY_BLOCK):
     for mi, mesh in enumerate(scene.meshes):
         if not mesh_mask[mi]:
             continue
-        mesh_sg = jax.lax.stop_gradient(mesh)
-        _, tri_d, bt, tt = _blocked_traverse(
-            mesh_sg, ro, rd, dist,
-            backface=settings.use_backface_culling,
-            use_ac=settings.use_ac,
-            block=ray_block,
+        tri_d, bt, tt = _mesh_oracle(
+            jax.lax.stop_gradient(mesh), settings, ro, rd, dist
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
@@ -287,21 +292,29 @@ def surface_data(scene, hit: Hit, hit_point):
             mesh = scene.meshes[sub]
             ms = st.meshes[sub]
             ti = jnp.maximum(hit.tri, 0)
-            tn = mesh.n[ti]    # (Q, 3, 3)
-            tuv = mesh.uv[ti]  # (Q, 3, 2)
+            n0, n1, n2 = _gather_tri9(mesh.nT, ti)
+            uvg = mesh.uvT[:, ti]  # (6, Q)
             uu = hit.u[:, None]
             vv = hit.v[:, None]
             w0 = (1.0 - hit.u - hit.v)[:, None]
             # texCoord = t_b*u + t_c*v + (1-u-v)*t_a (objects.cpp:124)
-            tc = tuv[:, 1] * uu + tuv[:, 2] * vv + tuv[:, 0] * w0
+            tc = jnp.stack(
+                [
+                    uvg[2] * hit.u + uvg[4] * hit.v + uvg[0] * w0[:, 0],
+                    uvg[3] * hit.u + uvg[5] * hit.v + uvg[1] * w0[:, 0],
+                ],
+                axis=-1,
+            )
             # smooth vertex normal; the /3 is a no-op under normalize
             # (objects.cpp:127)
-            n = normalize((tn[:, 1] * uu + tn[:, 2] * vv + tn[:, 0] * w0) / 3.0)
+            n = normalize((n1 * uu + n2 * vv + n0 * w0) / 3.0)
             if ms.has_normal_map:
                 # Tangent-space normal via the (unorthonormalized) TBN
                 # rows exactly as objects.cpp:129-150.
-                tang = mesh.tangent[ti]
-                bita = mesh.bitangent[ti]
+                tg = mesh.tanT[:, ti]   # (3, Q)
+                bg = mesh.bitT[:, ti]
+                tang = jnp.stack([tg[0], tg[1], tg[2]], -1)
+                bita = jnp.stack([bg[0], bg[1], bg[2]], -1)
                 tn_map = normalize(sample_map(mesh.normal_map, ms.nmap_wh, tc))
                 n = normalize(
                     tn_map[:, 0:1] * tang + tn_map[:, 1:2] * bita + tn_map[:, 2:3] * n
@@ -372,7 +385,7 @@ def _point_falloff(intensity, d2):
     return jnp.minimum(1.0, intensity / (4.0 * math.pi * safe / 1000.0))
 
 
-def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
+def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
     """Direct lighting over all lights, shared by every material branch
     (the per-branch light loops at scene.cpp:780-941 compute the same
     two sums). Returns (diffuse_comp (Q,3), spec_comp (Q,3)).
@@ -381,6 +394,7 @@ def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
     specular term is pow(sum(vis*max(0,R.(-V)))/S, nspec), not the mean
     of pows.
     """
+    del ray_block
     q = hit_point.shape[0]
     diffuse_c = jnp.zeros((q, 3), jnp.float32)
     spec_c = jnp.zeros((q, 3), jnp.float32)
@@ -408,7 +422,6 @@ def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
                 jnp.broadcast_to(shadow_orig[:, None, :], delta.shape).reshape(-1, 3),
                 (-ldn).reshape(-1, 3),
                 dist_s.reshape(-1),
-                ray_block=ray_block,
             )
             for k in stats:
                 stats[k] = stats[k] + s_stats[k]
@@ -429,9 +442,7 @@ def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
             spec_c = spec_c + spec_pow(ssum, nspec)[:, None] * inten
             continue
 
-        occ, s_stats = trace_occlusion(
-            scene, shadow_orig, -ldir, dist, ray_block=ray_block
-        )
+        occ, s_stats = trace_occlusion(scene, shadow_orig, -ldir, dist)
         for k in stats:
             stats[k] = stats[k] + s_stats[k]
         vis = (~occ).astype(jnp.float32)
@@ -443,36 +454,37 @@ def lighting(scene, hit_point, normal, rd, nspec, *, ray_block, stats):
     return diffuse_c, spec_c
 
 
-class Queue(NamedTuple):
-    ro: jnp.ndarray      # (Q, 3)
-    rd: jnp.ndarray      # (Q, 3)
-    weight: jnp.ndarray  # (Q,)
-    pix: jnp.ndarray     # (Q,) i32
-    active: jnp.ndarray  # (Q,) bool
+class BlockOut(NamedTuple):
+    contrib3: jnp.ndarray  # (3, B) weighted radiance to scatter
+    c1_ro3: jnp.ndarray    # (3, B) continuation 1 (reflective / transparent-refl)
+    c1_rd3: jnp.ndarray
+    c1_w: jnp.ndarray      # (B,)
+    c2_ro3: jnp.ndarray    # (3, B) continuation 2 (transparent refraction)
+    c2_rd3: jnp.ndarray
+    c2_w: jnp.ndarray
+    stats: dict
 
 
-def _bounce(scene, queue: Queue, accum, stats, *, ray_block):
-    """One castRay level for the whole queue. Returns (queue', accum')."""
+def _bounce_block(scene, ro, rd, weight, active) -> BlockOut:
+    """One castRay level for a block of rays ((B, 3) convention inside)."""
     st = scene.static
-    q = queue.ro.shape[0]
-    ro, rd, weight, pix, active = queue
+    stats = _zero_stats()
 
-    hit, t_stats = trace_closest(scene, ro, rd, ray_block=ray_block)
+    hit, t_stats = trace_closest(scene, ro, rd)
     for k in stats:
         stats[k] = stats[k] + t_stats[k]
     hit_m = hit.hit & active
     miss_m = (~hit.hit) & active
-    # Sanitize miss-lane t (FLT_MAX) so masked lanes stay finite: any
-    # inf/NaN in a masked forward value would poison reverse-mode
-    # through the 0 * inf chain rule.
-    t_safe = jnp.where(hit.hit, hit.t, 1.0)
 
-    # Miss -> skybox / background (scene.cpp:945).
     sky = sample_skybox(
         scene.skybox if st.settings.use_skybox else None, rd, scene.bg_color
     )
     contrib = jnp.where(miss_m[:, None], weight[:, None] * sky, 0.0)
 
+    # Sanitize miss-lane t (FLT_MAX) so masked lanes stay finite: any
+    # inf/NaN in a masked forward value would poison reverse-mode
+    # through the 0 * inf chain rule.
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)
     hit_point = ro + rd * t_safe[:, None]
     normal, tex = surface_data(scene, hit, hit_point)
     obj_col = object_color(scene, hit, tex)
@@ -480,7 +492,7 @@ def _bounce(scene, queue: Queue, accum, stats, *, ray_block):
     mat = scene.mat_type[hit.obj]
 
     diffuse_c, spec_c = lighting(
-        scene, hit_point, normal, rd, nspec, ray_block=ray_block, stats=stats
+        scene, hit_point, normal, rd, nspec, stats=stats
     )
 
     # Material combine (scene.cpp:780-941).
@@ -508,114 +520,197 @@ def _bounce(scene, queue: Queue, accum, stats, *, ray_block):
         ),
     )
     contrib = contrib + jnp.where(hit_m[:, None], weight[:, None] * hc, 0.0)
-    accum = accum.at[pix].add(contrib)
 
     # ---- continuations ----
     bias_v = scene.bias[None, None] * normal
     rdn = dot(rd, normal)
 
+    is_refl = hit_m & (mat == MAT_REFLECTIVE)
+    is_trans = hit_m & (mat == MAT_TRANSPARENT)
+
     # Reflective child (scene.cpp:856-858): dir NOT normalized there.
     refl_dir_r = rd - 2.0 * rdn[:, None] * normal
     refl_orig_r = hit_point + bias_v
 
-    # Transparent children (scene.cpp:892-908).
-    outside = rdn < 0
-    refr_dir = normalize(refract(rd, normal, ior))
-    refr_orig = jnp.where(outside[:, None], hit_point - bias_v, hit_point + bias_v)
-    refl_dir_t = normalize(reflect(rd, normal))
-    refl_orig_t = jnp.where(outside[:, None], hit_point + bias_v, hit_point - bias_v)
+    if st.any_transparent:
+        outside = rdn < 0
+        refr_dir = normalize(refract(rd, normal, ior))
+        refr_orig = jnp.where(
+            outside[:, None], hit_point - bias_v, hit_point + bias_v
+        )
+        refl_dir_t = normalize(reflect(rd, normal))
+        refl_orig_t = jnp.where(
+            outside[:, None], hit_point + bias_v, hit_point - bias_v
+        )
+        c1_dir = jnp.where(is_refl[:, None], refl_dir_r, refl_dir_t)
+        c1_orig = jnp.where(is_refl[:, None], refl_orig_r, refl_orig_t)
+        c1_w = jnp.where(
+            is_refl, weight * 0.8, jnp.where(is_trans, weight * kr, 0.0)
+        )
+        c2_dir = refr_dir
+        c2_orig = refr_orig
+        c2_w = jnp.where(is_trans & (kr < 1.0), weight * (1.0 - kr), 0.0)
+    else:
+        c1_dir = refl_dir_r
+        c1_orig = refl_orig_r
+        c1_w = jnp.where(is_refl, weight * 0.8, 0.0)
+        c2_dir = rd
+        c2_orig = ro
+        c2_w = jnp.zeros_like(weight)
 
-    is_refl = hit_m & (mat == MAT_REFLECTIVE)
-    is_trans = hit_m & (mat == MAT_TRANSPARENT)
+    return BlockOut(
+        contrib3=contrib.T,
+        c1_ro3=c1_orig.T, c1_rd3=c1_dir.T, c1_w=c1_w,
+        c2_ro3=c2_orig.T, c2_rd3=c2_dir.T, c2_w=c2_w,
+        stats=stats,
+    )
 
+
+class Queue(NamedTuple):
+    """Bounce queue in blocked TPU layout: vectors as (nb, 3, B)."""
+
+    ro3: jnp.ndarray     # (nb, 3, B)
+    rd3: jnp.ndarray     # (nb, 3, B)
+    weight: jnp.ndarray  # (nb, B)
+    pix: jnp.ndarray     # (nb, B) i32
+
+
+def _bounce(scene, queue: Queue, accum3, stats):
+    """One castRay level for the whole queue. Returns (queue', accum3')."""
+    st = scene.static
     min_w = st.settings.min_weight
+    nb, _, B = queue.ro3.shape
+    q = nb * B
+
+    def body(args):
+        ro3, rd3, w = args
+        out = _bounce_block(scene, ro3.T, rd3.T, w, w > min_w)
+        return out
+
+    out = jax.lax.map(body, (queue.ro3, queue.rd3, queue.weight))
+    for k in stats:
+        stats[k] = stats[k] + jnp.sum(out.stats[k])
+
+    # Scatter contributions (values flattened to (3, Q) — minor dim Q).
+    contrib_flat = jnp.moveaxis(out.contrib3, 0, 1).reshape(3, q)
+    pix_flat = queue.pix.reshape(q)
+    accum3 = accum3.at[:, pix_flat].add(contrib_flat)
+
     if not st.any_transparent:
         # Single continuation in place — no compaction needed.
-        new_w = jnp.where(is_refl, weight * 0.8, 0.0)
-        nq = Queue(
-            ro=jnp.where(is_refl[:, None], refl_orig_r, ro),
-            rd=jnp.where(is_refl[:, None], refl_dir_r, rd),
-            weight=new_w,
-            pix=pix,
-            active=is_refl & (new_w > min_w),
-        )
-        return nq, accum
+        return Queue(
+            ro3=out.c1_ro3, rd3=out.c1_rd3, weight=out.c1_w, pix=queue.pix
+        ), accum3
 
     # Two candidate children per ray -> stable top-Q by weight.
-    c1_dir = jnp.where(is_refl[:, None], refl_dir_r, refl_dir_t)
-    c1_orig = jnp.where(is_refl[:, None], refl_orig_r, refl_orig_t)
-    c1_w = jnp.where(is_refl, weight * 0.8, jnp.where(is_trans, weight * kr, 0.0))
-    c2_dir = refr_dir
-    c2_orig = refr_orig
-    c2_w = jnp.where(is_trans & (kr < 1.0), weight * (1.0 - kr), 0.0)
+    def flat3(a):  # (nb, 3, B) -> (3, Q)
+        return jnp.moveaxis(a, 0, 1).reshape(3, q)
 
-    cand_ro = jnp.concatenate([c1_orig, c2_orig])
-    cand_rd = jnp.concatenate([c1_dir, c2_dir])
-    cand_w = jnp.concatenate([c1_w, c2_w])
-    cand_pix = jnp.concatenate([pix, pix])
-    cand_act = cand_w > min_w
-    cand_w = jnp.where(cand_act, cand_w, 0.0)
+    cand_ro = jnp.concatenate([flat3(out.c1_ro3), flat3(out.c2_ro3)], axis=1)
+    cand_rd = jnp.concatenate([flat3(out.c1_rd3), flat3(out.c2_rd3)], axis=1)
+    cand_w = jnp.concatenate([out.c1_w.reshape(q), out.c2_w.reshape(q)])
+    cand_pix = jnp.concatenate([pix_flat, pix_flat])
+    cand_w = jnp.where(cand_w > min_w, cand_w, 0.0)
 
     order = jnp.argsort(-jax.lax.stop_gradient(cand_w), stable=True)[:q]
-    nq = Queue(
-        ro=cand_ro[order],
-        rd=cand_rd[order],
-        weight=cand_w[order],
-        pix=cand_pix[order],
-        active=cand_act[order],
+    return Queue(
+        ro3=jnp.moveaxis(cand_ro[:, order].reshape(3, nb, B), 1, 0),
+        rd3=jnp.moveaxis(cand_rd[:, order].reshape(3, nb, B), 1, 0),
+        weight=cand_w[order].reshape(nb, B),
+        pix=cand_pix[order].reshape(nb, B),
+    ), accum3
+
+
+def _to_blocks(ro, rd, pix, weight, block):
+    """Pack (Q, 3) rays into the blocked (nb, 3, B) queue layout."""
+    q = ro.shape[0]
+    nb = max(1, -(-q // block))
+    pad = nb * block - q
+    if pad:
+        ro = jnp.pad(ro, ((0, pad), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+        pix = jnp.pad(pix, (0, pad))
+        weight = jnp.pad(weight, (0, pad))
+    return Queue(
+        ro3=ro.T.reshape(3, nb, block).swapaxes(0, 1),
+        rd3=rd.T.reshape(3, nb, block).swapaxes(0, 1),
+        weight=weight.reshape(nb, block),
+        pix=pix.astype(jnp.int32).reshape(nb, block),
     )
-    return nq, accum
 
 
 def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
               ray_block: int = DEFAULT_RAY_BLOCK):
     """Run the full bounce loop for a ray batch; scatter-add weighted
-    radiance into a (n_pixels, 3) accumulator. Returns (accum, stats).
+    radiance into a (3, n_pixels) accumulator. Returns (accum3, stats).
     """
     st = scene.static
     n_bounces = (st.settings.max_ray_depth + 1) if st.any_bouncing else 1
-    accum = jnp.zeros((n_pixels, 3), jnp.float32)
+    accum3 = jnp.zeros((3, n_pixels), jnp.float32)
     stats = _zero_stats()
-    queue = Queue(
-        ro=ro, rd=rd, weight=weight, pix=pix.astype(jnp.int32),
-        active=weight > st.settings.min_weight,
+    queue = _to_blocks(ro, rd, pix, weight, min(ray_block, ro.shape[0]))
+
+    accum3, queue, stats = pvary_like(
+        (accum3, queue, stats), ro, rd, weight, pix
     )
 
-    # Under shard_map, scan carries must have consistent varying-axis
-    # types: align every carry leaf with the union of the ray inputs'
-    # vma (ro may be an unvarying broadcast of the replicated cam_pos
-    # while rd varies per shard).
-    accum, queue, stats = pvary_like((accum, queue, stats), ro, rd, weight, pix)
-
     def body(carry, _):
-        queue, accum, stats = carry
+        queue, accum3, stats = carry
         stats = dict(stats)
-        queue, accum = _bounce(scene, queue, accum, stats, ray_block=ray_block)
-        return (queue, accum, stats), None
+        queue, accum3 = _bounce(scene, queue, accum3, stats)
+        return (queue, accum3, stats), None
 
-    (queue, accum, stats), _ = jax.lax.scan(
-        body, (queue, accum, stats), None, length=n_bounces
+    (queue, accum3, stats), _ = jax.lax.scan(
+        body, (queue, accum3, stats), None, length=n_bounces
     )
 
     # Depth guard: surviving continuations return the skybox
     # (scene.cpp:760).
-    sky = sample_skybox(
-        scene.skybox if st.settings.use_skybox else None, queue.rd, scene.bg_color
-    )
-    tail = jnp.where(queue.active[:, None], queue.weight[:, None] * sky, 0.0)
-    accum = accum.at[queue.pix].add(tail)
-    return accum, stats
+    if st.any_bouncing:
+        def tail_block(args):
+            rd3, w = args
+            sky = sample_skybox(
+                scene.skybox if st.settings.use_skybox else None,
+                rd3.T, scene.bg_color,
+            )
+            active = w > st.settings.min_weight
+            return jnp.where(active[None, :], w[None, :] * sky.T, 0.0)
+
+        tail3 = jax.lax.map(tail_block, (queue.rd3, queue.weight))
+        nb, _, B = queue.ro3.shape
+        accum3 = accum3.at[:, queue.pix.reshape(-1)].add(
+            jnp.moveaxis(tail3, 0, 1).reshape(3, nb * B)
+        )
+    return accum3, stats
 
 
 def shade_normals(scene, ro, rd, *, ray_block: int = DEFAULT_RAY_BLOCK):
     """showNormals mode (scene.cpp:771-772): first hit -> n/2 + 0.5,
     miss -> skybox. Single bounce by construction (the reference returns
-    before any recursion)."""
+    before any recursion). ro/rd: (Q, 3); returns (3, Q)."""
     st = scene.static
-    hit, _ = trace_closest(scene, ro, rd, ray_block=ray_block)
-    hit_point = ro + rd * jnp.where(hit.hit, hit.t, 1.0)[:, None]
-    normal, _ = surface_data(scene, hit, hit_point)
-    sky = sample_skybox(
-        scene.skybox if st.settings.use_skybox else None, rd, scene.bg_color
-    )
-    return jnp.where(hit.hit[:, None], normal / 2.0 + 0.5, sky)
+    q = ro.shape[0]
+    block = min(ray_block, q)
+    nb = max(1, -(-q // block))
+    pad = nb * block - q
+    if pad:
+        ro = jnp.pad(ro, ((0, pad), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+    ro3 = ro.T.reshape(3, nb, block).swapaxes(0, 1)
+    rd3 = rd.T.reshape(3, nb, block).swapaxes(0, 1)
+
+    def body(args):
+        ro3_b, rd3_b = args
+        ro_b = ro3_b.T
+        rd_b = rd3_b.T
+        hit, _ = trace_closest(scene, ro_b, rd_b)
+        hit_point = ro_b + rd_b * jnp.where(hit.hit, hit.t, 1.0)[:, None]
+        normal, _ = surface_data(scene, hit, hit_point)
+        sky = sample_skybox(
+            scene.skybox if st.settings.use_skybox else None, rd_b,
+            scene.bg_color,
+        )
+        return jnp.where(hit.hit[None, :], (normal / 2.0 + 0.5).T, sky.T)
+
+    out = jax.lax.map(body, (ro3, rd3))  # (nb, 3, B)
+    return jnp.moveaxis(out, 0, 1).reshape(3, nb * block)[:, :q]

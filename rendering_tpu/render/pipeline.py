@@ -12,6 +12,10 @@ Pass structure:
   3. debug modes: showNormals (first-hit normals), showAC (BVH
      node-visit heatmap, scene.cpp:607-635).
 
+Frames are channel-first f32[3, H, W] on device (TPU layout: minor dims
+H, W stay unpadded; an (H, W, 3) device frame would pad 3 -> 128 lanes).
+The host-facing `render` returns the usual (H, W, 3) numpy array.
+
 Parity quirks: the last pixel row/column are never rendered by the
 reference (its tile clamp, scene.cpp:369-372) and stay black; showAC
 renders the FULL grid at +0.5 offsets and skips SSAA.
@@ -40,27 +44,26 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     w, h = st.settings.width, st.settings.height
     ro, rd, pix = primary_rays(scene, offset=1.0)
     if st.settings.show_normals:
-        colors = shade_normals(scene, ro, rd, ray_block=ray_block)
-        accum = colors
+        accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
         stats = _zero_stats()
         stats["rays_casted"] = jnp.asarray(w * h, jnp.int32)
     else:
         weight = jnp.ones((w * h,), jnp.float32)
-        accum, stats = integrate(
+        accum3, stats = integrate(
             scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
         )
-    frame = accum.reshape(h, w, 3)
+    frame3 = accum3.reshape(3, h, w)
     # Dead last row/column (scene.cpp:369-372): never rendered, stays 0.
-    frame = frame.at[h - 1, :, :].set(0.0)
-    frame = frame.at[:, w - 1, :].set(0.0)
-    return frame, stats
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    frame3 = frame3.at[:, :, w - 1].set(0.0)
+    return frame3, stats
 
 
-def _ssaa_pass(scene, frame, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
-    """Sobel-adaptive refinement. Returns (frame, n_masked, stats)."""
+def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
+    """Sobel-adaptive refinement. Returns (frame3, n_masked, stats)."""
     st = scene.static
     w, h = st.settings.width, st.settings.height
-    mask = sobel_mask(frame)
+    mask = sobel_mask(frame3)
     flat_mask = mask.reshape(-1)
     n_masked = jnp.sum(flat_mask.astype(jnp.int32))
 
@@ -84,43 +87,58 @@ def _ssaa_pass(scene, frame, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
     weight = jnp.concatenate(wts)
 
     if st.settings.show_normals:
-        colors = shade_normals(scene, ro, rd, ray_block=ray_block)
-        accum = (
-            jnp.zeros((w * h, 3), jnp.float32)
-            .at[pix]
-            .add(weight[:, None] * colors)
+        colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+        accum3 = (
+            jnp.zeros((3, w * h), jnp.float32)
+            .at[:, pix]
+            .add(weight[None, :] * colors3)
         )
         stats = _zero_stats()
     else:
-        accum, stats = integrate(
+        accum3, stats = integrate(
             scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
         )
 
-    refined = accum.reshape(h, w, 3)
-    frame = jnp.where(mask[:, :, None], refined, frame)
-    return frame, n_masked, stats
+    refined3 = accum3.reshape(3, h, w)
+    frame3 = jnp.where(mask[None, :, :], refined3, frame3)
+    return frame3, n_masked, stats
 
 
-def _show_ac_pass(scene):
+def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     """AC heatmap (scene.cpp:607-635): per-pixel count of BVH nodes whose
     AABB the primary ray hits (ancestors hitting too), normalized by the
     global max. Full grid, single +0.5 offset, no SSAA."""
     st = scene.static
     w, h = st.settings.width, st.settings.height
     ro, rd, _ = primary_rays(scene, offset=0.5)
-    counts = jnp.zeros((w * h,), jnp.int32)
-    for mesh in scene.meshes:
-        counts = counts + count_ac_nodes(
-            mesh, ro, rd, use_ac=st.settings.use_ac
-        )
+
+    q = w * h
+    block = min(ray_block, q)
+    nb = -(-q // block)
+    pad = nb * block - q
+    ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+
+    def body(args):
+        ro_b, rd_b = args
+        counts = jnp.zeros((block,), jnp.int32)
+        for mesh in scene.meshes:
+            counts = counts + count_ac_nodes(
+                mesh, ro_b, rd_b, use_ac=st.settings.use_ac
+            )
+        return counts
+
+    counts = jax.lax.map(
+        body, (ro_p.reshape(nb, block, 3), rd_p.reshape(nb, block, 3))
+    ).reshape(-1)[:q]
     ac_max = jnp.maximum(jnp.max(counts), 1)
     val = counts.astype(jnp.float32) / ac_max.astype(jnp.float32)
-    return jnp.broadcast_to(val[:, None], (w * h, 3)).reshape(h, w, 3)
+    return jnp.broadcast_to(val[None, :], (3, q)).reshape(3, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("ray_block",))
 def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
-    """Full jitted render: returns (frame (H, W, 3) f32, aux dict).
+    """Full jitted render: returns (frame3 (3, H, W) f32, aux dict).
 
     aux contains device-side stats counters and the SSAA mask size
     (for capacity-overflow detection host-side).
@@ -128,33 +146,33 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     st = scene.static
     settings = st.settings
     if settings.show_ac:
-        frame = _show_ac_pass(scene)
-        return frame, {"stats": _zero_stats(),
-                       "ssaa_masked": jnp.zeros((), jnp.int32)}
+        frame3 = _show_ac_pass(scene, ray_block=ray_block)
+        return frame3, {"stats": _zero_stats(),
+                        "ssaa_masked": jnp.zeros((), jnp.int32)}
 
-    frame, stats = _primary_pass(scene, ray_block=ray_block)
+    frame3, stats = _primary_pass(scene, ray_block=ray_block)
     n_masked = jnp.zeros((), jnp.int32)
     if settings.enable_ssaa:
         capacity = max(
             1, int(settings.width * settings.height
                    * settings.ssaa_capacity_fraction)
         )
-        frame, n_masked, s2 = _ssaa_pass(
-            scene, frame, capacity=capacity, ray_block=ray_block
+        frame3, n_masked, s2 = _ssaa_pass(
+            scene, frame3, capacity=capacity, ray_block=ray_block
         )
         for k in stats:
             stats[k] = stats[k] + s2[k]
-    return frame, {"stats": stats, "ssaa_masked": n_masked}
+    return frame3, {"stats": stats, "ssaa_masked": n_masked}
 
 
 def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
-    """Host-facing render: returns (numpy frame, aux). Warns if the SSAA
-    queue capacity was exceeded (edge pixels beyond capacity keep their
-    primary-pass color)."""
+    """Host-facing render: returns ((H, W, 3) numpy frame, aux). Warns
+    if the SSAA queue capacity was exceeded (edge pixels beyond capacity
+    keep their primary-pass color)."""
     import numpy as np
 
-    frame, aux = render_scene(scene, ray_block=ray_block)
-    frame = np.asarray(frame)
+    frame3, aux = render_scene(scene, ray_block=ray_block)
+    frame = np.asarray(frame3).transpose(1, 2, 0)
     st = scene.static.settings
     cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
     n_masked = int(aux["ssaa_masked"])

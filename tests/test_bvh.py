@@ -18,10 +18,15 @@ def _random_tris(n, seed=0):
 def _mesh_from(tri_v, bounds, **kw):
     bvh = build_bvh(tri_v, bounds, **kw)
     z3 = np.zeros_like(tri_v)
+    t_count = len(tri_v)
     return MeshData(
         v=jnp.asarray(tri_v), n=jnp.asarray(z3),
-        uv=jnp.zeros((len(tri_v), 3, 2)),
-        tangent=jnp.zeros((len(tri_v), 3)), bitangent=jnp.zeros((len(tri_v), 3)),
+        uv=jnp.zeros((t_count, 3, 2)),
+        tangent=jnp.zeros((t_count, 3)), bitangent=jnp.zeros((t_count, 3)),
+        vT=jnp.asarray(tri_v.reshape(t_count, 9).T.copy()),
+        nT=jnp.zeros((9, t_count)), uvT=jnp.zeros((6, t_count)),
+        tanT=jnp.zeros((3, t_count)), bitT=jnp.zeros((3, t_count)),
+        reach_lo=jnp.asarray(bvh.reach_lo), reach_hi=jnp.asarray(bvh.reach_hi),
         node_min=jnp.asarray(bvh.node_min), node_max=jnp.asarray(bvh.node_max),
         skip=jnp.asarray(bvh.skip), leaf_start=jnp.asarray(bvh.leaf_start),
         leaf_count=jnp.asarray(bvh.leaf_count), real_flag=jnp.asarray(bvh.real_flag),

@@ -43,13 +43,10 @@ def _small_scene(**settings_kw):
 
 
 def _loss(scene):
-    frame, _ = render_scene(scene)
+    frame3, _ = render_scene(scene)
     # weighted pixel sum -> scalar (deterministic spatial weighting)
-    h, w = frame.shape[:2]
-    wgt = (
-        jnp.arange(h * w * 3, dtype=jnp.float32).reshape(h, w, 3) % 7 + 1
-    ) / 7.0
-    return jnp.sum(frame * wgt)
+    wgt = (jnp.arange(frame3.size, dtype=jnp.float32).reshape(frame3.shape) % 7 + 1) / 7.0
+    return jnp.sum(frame3 * wgt)
 
 
 def _fd(scene, get, set_, eps):

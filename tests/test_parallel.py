@@ -68,15 +68,15 @@ def test_sharded_grad_psum(in_workspace, eight_device_mesh):
         lights = list(scene.lights)
         lights[0] = dataclasses.replace(lights[0], intensity=intensity)
         s = dataclasses.replace(scene, lights=tuple(lights))
-        frame, _ = render_scene(s)
-        return jnp.sum(frame)
+        frame3, _ = render_scene(s)
+        return jnp.sum(frame3)
 
     def loss_sharded(intensity):
         lights = list(scene.lights)
         lights[0] = dataclasses.replace(lights[0], intensity=intensity)
         s = dataclasses.replace(scene, lights=tuple(lights))
-        frame, _ = render_scene_sharded(s, eight_device_mesh)
-        return jnp.sum(frame)
+        frame3, _ = render_scene_sharded(s, eight_device_mesh)
+        return jnp.sum(frame3)
 
     x = jnp.asarray(0.5, jnp.float32)
     g1 = float(jax.grad(loss_single)(x))
