@@ -69,6 +69,8 @@ struct BvhResult {
     std::vector<int32_t> leaf_count;
     std::vector<int32_t> real_flag;
     std::vector<int32_t> leaf_tris; // L (+chunk pad)
+    std::vector<float> reach_lo;    // T*3 — union-AABB of leaves per tri
+    std::vector<float> reach_hi;    // T*3
     int64_t n_real_nodes = 0;
     int64_t tri_copies = 0;
 };
@@ -418,6 +420,14 @@ void emit(BuildCtx& c, BuildNode* node) {
     BvhResult* o = c.out;
     if (node->is_leaf) {
         int64_t n_tris = (int64_t)node->tris.size();
+        for (int64_t t : node->tris) {
+            for (int k = 0; k < 3; k++) {
+                float& lo = o->reach_lo[t * 3 + k];
+                float& hi = o->reach_hi[t * 3 + k];
+                if (node->bmin[k] < lo) lo = node->bmin[k];
+                if (node->bmax[k] > hi) hi = node->bmax[k];
+            }
+        }
         int64_t n_chunks = n_tris > 0 ? (n_tris + c.leaf_chunk - 1) / c.leaf_chunk : 1;
         int64_t first = (int64_t)o->skip.size();
         for (int64_t ch = 0; ch < n_chunks; ch++) {
@@ -457,6 +467,8 @@ void emit(BuildCtx& c, BuildNode* node) {
 void* rtn_build_bvh(const float* tri_v, int64_t T, const float* bounds6,
                     int ac_penalty, int leaf_chunk) {
     auto* out = new BvhResult();
+    out->reach_lo.assign(T * 3, FLT_MAX);
+    out->reach_hi.assign(T * 3, -FLT_MAX);
     std::vector<float> tmin(T * 3), tmax(T * 3);
     for (int64_t t = 0; t < T; t++) {
         for (int k = 0; k < 3; k++) {
@@ -485,17 +497,18 @@ void* rtn_build_bvh(const float* tri_v, int64_t T, const float* bounds6,
 }
 
 void rtn_bvh_sizes(void* h, int64_t* n_nodes, int64_t* n_leaf_tris,
-                   int64_t* n_real, int64_t* tri_copies) {
+                   int64_t* n_real, int64_t* tri_copies, int64_t* n_tris) {
     auto* b = (BvhResult*)h;
     *n_nodes = (int64_t)b->skip.size();
     *n_leaf_tris = (int64_t)b->leaf_tris.size();
     *n_real = b->n_real_nodes;
     *tri_copies = b->tri_copies;
+    *n_tris = (int64_t)b->reach_lo.size() / 3;
 }
 
 void rtn_bvh_copy(void* h, float* node_min, float* node_max, int32_t* skip,
                   int32_t* leaf_start, int32_t* leaf_count, int32_t* real_flag,
-                  int32_t* leaf_tris) {
+                  int32_t* leaf_tris, float* reach_lo, float* reach_hi) {
     auto* b = (BvhResult*)h;
     std::memcpy(node_min, b->node_min.data(), b->node_min.size() * 4);
     std::memcpy(node_max, b->node_max.data(), b->node_max.size() * 4);
@@ -504,6 +517,8 @@ void rtn_bvh_copy(void* h, float* node_min, float* node_max, int32_t* skip,
     std::memcpy(leaf_count, b->leaf_count.data(), b->leaf_count.size() * 4);
     std::memcpy(real_flag, b->real_flag.data(), b->real_flag.size() * 4);
     std::memcpy(leaf_tris, b->leaf_tris.data(), b->leaf_tris.size() * 4);
+    std::memcpy(reach_lo, b->reach_lo.data(), b->reach_lo.size() * 4);
+    std::memcpy(reach_hi, b->reach_hi.data(), b->reach_hi.size() * 4);
 }
 
 void rtn_bvh_free(void* h) { delete (BvhResult*)h; }

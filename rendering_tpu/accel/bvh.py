@@ -99,9 +99,28 @@ def build_bvh(
     ac_penalty: int = 1,
     leaf_chunk: int = 8,
 ) -> FlatBVH:
-    """Build + flatten. `tri_v` is (T, 3, 3); `root_bounds` is (2, 3) —
-    the bounds the reference computes at OBJ load (objects.cpp:328-330),
-    NOT a recomputed tight AABB."""
+    """Build + flatten — native C++ builder when available (bit-identical
+    contract, tests/test_native.py), else pure Python. `tri_v` is
+    (T, 3, 3); `root_bounds` is (2, 3) — the bounds the reference
+    computes at OBJ load (objects.cpp:328-330), NOT a recomputed tight
+    AABB."""
+    try:
+        from rendering_tpu.native import build_bvh_native
+
+        d = build_bvh_native(tri_v, root_bounds, ac_penalty, leaf_chunk)
+    except Exception:
+        d = None
+    if d is not None:
+        return FlatBVH(**d)
+    return build_bvh_python(tri_v, root_bounds, ac_penalty, leaf_chunk)
+
+
+def build_bvh_python(
+    tri_v: np.ndarray,
+    root_bounds: np.ndarray,
+    ac_penalty: int = 1,
+    leaf_chunk: int = 8,
+) -> FlatBVH:
     t_count = int(tri_v.shape[0])
     tmin = tri_v.min(axis=1).astype(F32)  # (T, 3) per-tri min coords
     tmax = tri_v.max(axis=1).astype(F32)

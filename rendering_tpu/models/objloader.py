@@ -150,6 +150,25 @@ def _apply_first_face_transform(
 
 
 def load_obj(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArrays:
+    """Dispatch: native C++ loader when built (bit-identical contract,
+    tests/test_native.py), else the pure-Python implementation."""
+    try:
+        from rendering_tpu.native import load_obj_native
+
+        res = load_obj_native(
+            path, np.asarray(size, np.float32), euler_matrix(rot),
+            np.asarray(pos, np.float32), bias,
+        )
+    except Exception:
+        res = None
+    if res is not None:
+        v, n, uv, tangent, bitangent, bounds = res
+        return MeshArrays(v=v, n=n, uv=uv, tangent=tangent,
+                          bitangent=bitangent, root_bounds=bounds)
+    return load_obj_python(path, size, rot, pos, bias)
+
+
+def load_obj_python(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArrays:
     verts: list = []
     normals: list = []
     uvs: list = []

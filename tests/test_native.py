@@ -1,0 +1,93 @@
+"""Native C++ runtime parity: the ctypes fast paths must produce
+BIT-IDENTICAL float32 results to the Python implementations on the
+bundled reference assets (the contract that lets them interchange
+freely under the renderer)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rendering_tpu.accel.bvh import build_bvh_python
+from rendering_tpu.models.objloader import euler_matrix, load_obj_python
+from rendering_tpu.native import build_bvh_native, get_lib, load_obj_native
+
+REFERENCE = os.environ.get("REFERENCE_DIR", "/root/reference")
+OBJS = os.path.join(REFERENCE, "input", "objects")
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native library not built"
+)
+
+CASES = [
+    ("teapot.obj", (2, 2, 2), (0, 30, 0), (0, 0, -4)),
+    ("bunny.obj", (2, 2, 2), (0, 160, 0), (0, 0, -3)),
+    ("cow.obj", (2.5, 2.5, 2.5), (10, 140, 0), (0, 0, -3.5)),
+    ("shotgun.obj", (2, 2, 2), (0, 100, 0), (-0.1, 0, -0.6)),
+    ("icosahedron.obj", (1.5, 1.5, 1.5), (0, 20, 10), (0, 0, -3)),
+    ("sphere.obj", (2, 2, 2), (0, 0, 0), (0, 0, -3)),
+    ("floor.obj", (2, 2, 2), (0, 0, 0), (0, 3, 0)),
+]
+
+
+@pytest.mark.parametrize("name,size,rot,pos", CASES)
+def test_obj_loader_parity(name, size, rot, pos):
+    path = os.path.join(OBJS, name)
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    py = load_obj_python(path, size, rot, pos)
+    nat = load_obj_native(
+        path, np.asarray(size, np.float32), euler_matrix(rot),
+        np.asarray(pos, np.float32), 0.0001,
+    )
+    assert nat is not None
+    v, n, uv, tangent, bitangent, bounds = nat
+    assert v.shape == py.v.shape
+    np.testing.assert_array_equal(v, py.v)
+    np.testing.assert_array_equal(n, py.n)
+    np.testing.assert_array_equal(uv, py.uv)
+    np.testing.assert_array_equal(tangent, py.tangent)
+    np.testing.assert_array_equal(bitangent, py.bitangent)
+    np.testing.assert_array_equal(bounds, py.root_bounds)
+
+
+@pytest.mark.parametrize("penalty,chunk", [(1, 8), (3, 8), (2, 4)])
+def test_bvh_builder_parity(penalty, chunk):
+    path = os.path.join(OBJS, "teapot.obj")
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    m = load_obj_python(path, (2, 2, 2), (0, 30, 0), (0, 0, -4))
+    py = build_bvh_python(m.v, m.root_bounds, penalty, chunk)
+    nat = build_bvh_native(m.v, m.root_bounds, penalty, chunk)
+    assert nat is not None
+    np.testing.assert_array_equal(nat["node_min"], py.node_min)
+    np.testing.assert_array_equal(nat["node_max"], py.node_max)
+    np.testing.assert_array_equal(nat["skip"], py.skip)
+    np.testing.assert_array_equal(nat["leaf_start"], py.leaf_start)
+    np.testing.assert_array_equal(nat["leaf_count"], py.leaf_count)
+    np.testing.assert_array_equal(nat["real_flag"], py.real_flag)
+    np.testing.assert_array_equal(nat["leaf_tris"], py.leaf_tris)
+    np.testing.assert_array_equal(nat["reach_lo"], py.reach_lo)
+    np.testing.assert_array_equal(nat["reach_hi"], py.reach_hi)
+    assert nat["n_real_nodes"] == py.n_real_nodes
+    assert nat["tri_copies"] == py.tri_copies
+
+
+def test_native_speedup_smoke():
+    """Native must at least not be slower on a real asset (it is
+    typically 10-100x faster; this is a smoke check, not a benchmark)."""
+    import time
+
+    path = os.path.join(OBJS, "cow.obj")
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    t0 = time.perf_counter()
+    m = load_obj_python(path, (2, 2, 2), (0, 0, 0), (0, 0, -3))
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    load_obj_native(
+        path, np.ones(3, np.float32) * 2, euler_matrix((0, 0, 0)),
+        np.asarray([0, 0, -3], np.float32), 0.0001,
+    )
+    t_nat = time.perf_counter() - t0
+    assert t_nat < t_py * 2, (t_nat, t_py)
