@@ -69,6 +69,11 @@ class RenderSettings:
     # Evaluate the dense intersection as a bilinear-form matmul on the
     # MXU (ops/bruteforce_mxu.py) instead of direct VPU Moller-Trumbore.
     use_mxu_intersect: bool = True
+    # Fuse the dense intersection into one Pallas kernel
+    # (ops/pallas_intersect.py): matmul + accept/min epilogue stay in
+    # VMEM, with per-chunk AABB culling. Only takes effect on the TPU
+    # backend; other backends fall back to the jnp paths above.
+    use_pallas_intersect: bool = True
     # Static capacity of the SSAA refinement queue as a fraction of the
     # pixel count. Edge pixels are compacted to this many slots; if the
     # Sobel mask exceeds it, the overflow count is reported host-side.

@@ -1,0 +1,288 @@
+"""Fused Pallas TPU kernel for dense ray-mesh closest hit.
+
+Same math as ops/bruteforce_mxu.py (the MXU bilinear-form
+Moller-Trumbore: reference semantics of src/objects.cpp:59-95 with the
+root-box reach filter replicating src/objects.cpp:534-570 +
+:737-760), but fused: the (rays, 4*tri_chunk) matmul output never
+leaves VMEM. The unfused XLA path writes + re-reads that intermediate
+through HBM every chunk (~250x the kernel's true I/O: inputs are 13
+floats/ray + 52 floats/tri, outputs 8 bytes/ray), which is the
+dominant cost of a frame. Here:
+
+  grid = (ray_tiles, tri_chunks)   # chunk dim innermost
+  per step: (4*Tc, 13) @ (13, BR) on the MXU -> epilogue on the VPU
+  -> running (t_best, tri_best) kept resident in the revisited
+  (1, BR) output block.
+
+Layout is rays-on-lanes / triangles-on-sublanes: per-ray scalars are
+rows of an (8, R) aux array (broadcast along sublanes is free), the
+closest-hit reduction is a sublane-dimension min, and the outputs are
+compact (1, R) vectors — no 128-lane padding of per-ray vec3s anywhere.
+
+This is a discrete hit ORACLE (t, triangle id): the integrator runs it
+under stop_gradient and re-evaluates the accepted hit differentiably,
+so no custom VJP is needed.
+
+Tie-breaking matches ops/bruteforce.py exactly: strict `t < t_best`
+across chunks (earlier chunk wins), lowest triangle id within a chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rendering_tpu.ops.geometry import FLT_MAX
+
+DEFAULT_RAY_TILE = 512
+_FMAX = float(FLT_MAX)  # python literal — pallas kernels can't capture arrays
+
+
+def _ray_features_t(roT: jnp.ndarray, rdT: jnp.ndarray) -> jnp.ndarray:
+    """(3, R) x2 -> (13, R) feature rows (transposed ray_features)."""
+    one = jnp.ones_like(roT[0:1])
+    return jnp.concatenate(
+        [
+            one, roT[0:1], roT[1:2], roT[2:3], rdT[0:1], rdT[1:2], rdT[2:3],
+            rdT[1:2] * roT[0:1], rdT[2:3] * roT[0:1], rdT[2:3] * roT[1:2],
+            rdT[0:1] * roT[1:2], rdT[0:1] * roT[2:3], rdT[1:2] * roT[2:3],
+        ],
+        axis=0,
+    )
+
+
+def _kernel(
+    feats_ref,   # (13, BR) VMEM
+    coef_ref,    # (4*Tc, 13) VMEM — rows [det | tdet | udet | vdet]
+    lo_ref,      # (Tc, 3) VMEM — per-tri reach box (root-clipped)
+    hi_ref,      # (Tc, 3) VMEM
+    aux_ref,     # (8, BR) VMEM — rows [ro xyz, 1/rd xyz, t0, unused]
+    cbox_ref,    # (C, 8) SMEM — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
+    t_ref,       # (1, BR) VMEM out — running best t
+    tri_ref,     # (1, BR) VMEM out — running best triangle id
+    *,
+    tc: int,
+    backface_culling: bool,
+    use_root_filter: bool,
+):
+    chunk = pl.program_id(1)
+    base = chunk * tc
+
+    @pl.when(chunk == 0)
+    def _init():
+        t_ref[...] = aux_ref[6:7, :]
+        tri_ref[...] = jnp.full(tri_ref.shape, -1, jnp.int32)
+
+    # Chunk-level cull: a triangle in this chunk can only be accepted if
+    # the ray crosses the chunk's AABB at some t in [0, t_best). Skipping
+    # the whole grid step when no ray in the tile qualifies is the SPMD
+    # analogue of a 2-level BVH — the per-ray accept tests below are
+    # unchanged, so results are identical. Comparisons are negated so a
+    # NaN slab value (rd_c == 0 with origin on the box plane) keeps the
+    # chunk live (conservative), never skips it.
+    ctmin = jnp.full(t_ref.shape, -_FMAX, jnp.float32)
+    ctmax = jnp.full(t_ref.shape, _FMAX, jnp.float32)
+    for c in range(3):
+        ro_c = aux_ref[c : c + 1, :]
+        inv_c = aux_ref[3 + c : 4 + c, :]
+        t1 = (cbox_ref[chunk, c] - ro_c) * inv_c
+        t2 = (cbox_ref[chunk, 3 + c] - ro_c) * inv_c
+        ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
+        ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
+    live = ~((ctmin > ctmax) | (ctmax < 0) | (ctmin >= t_ref[...]))
+
+    @pl.when(jnp.any(live))
+    def _compute():
+        _intersect_chunk(
+            feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref,
+            base, tc=tc, backface_culling=backface_culling,
+            use_root_filter=use_root_filter,
+        )
+
+
+def _intersect_chunk(
+    feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref, base,
+    *, tc, backface_culling, use_root_filter,
+):
+    out = jax.lax.dot_general(
+        coef_ref[...], feats_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (4*Tc, BR)
+    det = out[0 * tc : 1 * tc, :]
+    tdet = out[1 * tc : 2 * tc, :]
+    udet = out[2 * tc : 3 * tc, :]
+    vdet = out[3 * tc : 4 * tc, :]
+
+    # Same accept chain (and f32 evaluation order) as bruteforce_mxu:
+    # zero-coefficient padded triangles fail the epsilon test in both
+    # culling modes, so no explicit lane-validity mask is needed.
+    if backface_culling:
+        ok = det >= 1e-8
+    else:
+        ok = jnp.abs(det) >= 1e-8
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    u = udet * inv
+    v = vdet * inv
+    t = tdet * inv
+    ok = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
+
+    if use_root_filter:
+        # Reference slab semantics ((lo-ro)*inv, no t>=0 clamp;
+        # src/objects.cpp:534-570) against the root-clipped per-tri box.
+        shape = (tc, feats_ref.shape[1])
+        tmin = jnp.full(shape, -_FMAX, jnp.float32)
+        tmax = jnp.full(shape, _FMAX, jnp.float32)
+        for c in range(3):
+            lo_c = jnp.broadcast_to(lo_ref[:, c : c + 1], shape)
+            hi_c = jnp.broadcast_to(hi_ref[:, c : c + 1], shape)
+            ro_c = jnp.broadcast_to(aux_ref[c : c + 1, :], shape)
+            inv_c = jnp.broadcast_to(aux_ref[3 + c : 4 + c, :], shape)
+            t1 = (lo_c - ro_c) * inv_c
+            t2 = (hi_c - ro_c) * inv_c
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        ok = ok & (tmin <= tmax)
+
+    t_prev = t_ref[...]                      # (1, BR)
+    ok = ok & (t < jnp.broadcast_to(t_prev, t.shape))
+    tm = jnp.where(ok, t, _FMAX)
+    t_min = jnp.min(tm, axis=0, keepdims=True)          # (1, BR)
+    better = t_min < t_prev                              # strict: earlier chunk wins ties
+    rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    lane = jnp.min(
+        jnp.where(tm == jnp.broadcast_to(t_min, tm.shape), rows, jnp.int32(2**30)),
+        axis=0,
+        keepdims=True,
+    )
+    t_ref[...] = jnp.where(better, t_min, t_prev)
+    tri_ref[...] = jnp.where(better, base + lane, tri_ref[...])
+
+
+def bruteforce_mesh_pallas(
+    mesh,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    t_limit: jnp.ndarray | None = None,
+    *,
+    backface_culling: bool = True,
+    tri_chunk: int = 256,
+    use_root_filter: bool = True,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    interpret: bool = False,
+):
+    """Closest hit over all mesh triangles, fused on-chip.
+    Interface identical to ops.bruteforce.bruteforce_mesh."""
+    T = int(mesh.v.shape[0])
+    R = ro.shape[0]
+    if T == 0:
+        z = jnp.zeros((), jnp.int32)
+        return (
+            jnp.full((R,), FLT_MAX, jnp.float32),
+            jnp.full((R,), -1, jnp.int32),
+            z, z,
+        )
+
+    from rendering_tpu.ops.bruteforce_mxu import mt_coefficients
+
+    n_chunks = -(-T // tri_chunk)
+    t_pad = n_chunks * tri_chunk - T
+    coef = mt_coefficients(mesh.v)  # (13, T, 4)
+    coef = jnp.pad(coef, ((0, 0), (0, t_pad), (0, 0)))
+    # (C, 4*Tc, 13): rows grouped per quantity within a chunk.
+    coef = (
+        coef.reshape(13, n_chunks, tri_chunk, 4)
+        .transpose(1, 3, 2, 0)
+        .reshape(n_chunks, 4 * tri_chunk, 13)
+    )
+    lo = jnp.pad(mesh.reach_lo, ((0, t_pad), (0, 0))).reshape(
+        n_chunks, tri_chunk, 3
+    )
+    hi = jnp.pad(mesh.reach_hi, ((0, t_pad), (0, 0))).reshape(
+        n_chunks, tri_chunk, 3
+    )
+    # Chunk AABBs for the in-kernel cull. With the root filter on, a hit
+    # additionally requires crossing the (clipped) reach box, so the
+    # union of reach boxes bounds all acceptable hits; without it, use
+    # raw vertex bounds. Padding is min/max-neutral; inverted (empty)
+    # clipped boxes never extend a union.
+    if use_root_filter:
+        ub_lo, ub_hi = mesh.reach_lo, mesh.reach_hi
+    else:
+        ub_lo = jnp.min(mesh.v, axis=1)
+        ub_hi = jnp.max(mesh.v, axis=1)
+    ub_lo = jnp.pad(ub_lo, ((0, t_pad), (0, 0)), constant_values=_FMAX)
+    ub_hi = jnp.pad(ub_hi, ((0, t_pad), (0, 0)), constant_values=-_FMAX)
+    cbox = jnp.concatenate(
+        [
+            jnp.min(ub_lo.reshape(n_chunks, tri_chunk, 3), axis=1),
+            jnp.max(ub_hi.reshape(n_chunks, tri_chunk, 3), axis=1),
+            jnp.zeros((n_chunks, 2), jnp.float32),
+        ],
+        axis=1,
+    )  # (C, 8)
+
+    n_tiles = -(-R // ray_tile)
+    r_pad = n_tiles * ray_tile - R
+    roT = ro.T
+    rdT = rd.T
+    t0 = jnp.full((R,), FLT_MAX, jnp.float32)
+    if t_limit is not None:
+        t0 = jnp.minimum(t0, t_limit)
+    if r_pad:
+        roT = jnp.pad(roT, ((0, 0), (0, r_pad)))
+        rdT = jnp.pad(rdT, ((0, 0), (0, r_pad)), constant_values=1.0)
+        t0 = jnp.pad(t0, (0, r_pad))
+    feats = _ray_features_t(roT, rdT)  # (13, Rp)
+    aux = jnp.concatenate(
+        [roT, 1.0 / rdT, t0[None, :], jnp.zeros_like(t0)[None, :]], axis=0
+    )  # (8, Rp)
+
+    rp = n_tiles * ray_tile
+    kernel = functools.partial(
+        _kernel,
+        tc=tri_chunk,
+        backface_culling=backface_culling,
+        use_root_filter=use_root_filter,
+    )
+    t_out, tri_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((13, ray_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 4 * tri_chunk, 13), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tri_chunk, 3), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tri_chunk, 3), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ray_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunks, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(feats, coef, lo, hi, aux, cbox)
+
+    t_best = t_out[0, :R]
+    tri_best = tri_out[0, :R]
+    found = tri_best >= 0
+    t_best = jnp.where(found, t_best, FLT_MAX)
+    tri_tests = jnp.asarray(R, jnp.int32) * jnp.asarray(T, jnp.int32)
+    return t_best, tri_best, jnp.zeros((), jnp.int32), tri_tests

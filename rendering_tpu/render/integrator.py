@@ -96,14 +96,23 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit):
     """Discrete mesh hit: dense chunked Moller-Trumbore for shotgun-class
     meshes (TPU fast path, zero gathers), lockstep threaded-BVH walk for
     big meshes. Returns (tri_id, box_tests, tri_tests)."""
+    import jax as _jax
+
     from rendering_tpu.ops.bruteforce import bruteforce_mesh
     from rendering_tpu.ops.bruteforce_mxu import bruteforce_mesh_mxu
+    from rendering_tpu.ops.pallas_intersect import bruteforce_mesh_pallas
 
     t_count = int(mesh.v.shape[0])
     if t_count <= settings.bruteforce_threshold:
-        fn = (
-            bruteforce_mesh_mxu if settings.use_mxu_intersect else bruteforce_mesh
-        )
+        if (
+            settings.use_pallas_intersect
+            and _jax.default_backend() == "tpu"
+        ):
+            fn = bruteforce_mesh_pallas
+        elif settings.use_mxu_intersect:
+            fn = bruteforce_mesh_mxu
+        else:
+            fn = bruteforce_mesh
         _t, tri, bt, tt = fn(
             mesh, ro, rd, t_limit,
             backface_culling=settings.use_backface_culling,

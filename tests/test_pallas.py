@@ -1,0 +1,96 @@
+"""Pallas fused-intersection kernel vs the jnp dense oracle.
+
+The kernel (ops/pallas_intersect.py) must return the exact same
+discrete hit (triangle id) as ops/bruteforce.bruteforce_mesh in every
+configuration: both culling modes, root filter on/off, with/without a
+t-limit. Runs in interpreter mode on the CPU test backend; the real
+Mosaic compilation is exercised on TPU by the benchmark and the
+on-TPU golden check.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rendering_tpu.flagship import build_flagship_scene, procedural_mesh
+from rendering_tpu.models.parser import ObjectDef, SceneDef
+from rendering_tpu.models.scene import build_scene
+from rendering_tpu.models.settings import RenderSettings
+from rendering_tpu.ops.bruteforce import bruteforce_mesh
+from rendering_tpu.ops.pallas_intersect import bruteforce_mesh_pallas
+
+
+def _rays(r, aim=None, seed=0):
+    rng = np.random.default_rng(seed)
+    ro = jnp.asarray(rng.normal(0, 2, (r, 3)), jnp.float32)
+    rd = jnp.asarray(rng.normal(0, 1, (r, 3)), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+    if aim is not None:
+        c = jnp.asarray(aim, jnp.float32)
+        at = (c - ro[: r // 2]) / jnp.linalg.norm(
+            c - ro[: r // 2], axis=1, keepdims=True
+        )
+        rd = rd.at[: r // 2].set(at)
+    return ro, rd
+
+
+@pytest.mark.parametrize("backface_culling", [True, False])
+@pytest.mark.parametrize("use_root_filter", [True, False])
+@pytest.mark.parametrize("with_limit", [True, False])
+def test_pallas_matches_dense_oracle(
+    backface_culling, use_root_filter, with_limit
+):
+    scene = build_flagship_scene(width=64, height=32, enable_ssaa=False)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(777, aim=(-0.1, 0, -0.6))
+    t_limit = (
+        jnp.asarray(
+            np.random.default_rng(1).uniform(0.5, 50, (777,)), jnp.float32
+        )
+        if with_limit
+        else None
+    )
+    t1, tri1, _, _ = bruteforce_mesh(
+        mesh, ro, rd, t_limit,
+        backface_culling=backface_culling, use_root_filter=use_root_filter,
+    )
+    t2, tri2, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, t_limit,
+        backface_culling=backface_culling, use_root_filter=use_root_filter,
+        interpret=True,
+    )
+    assert int(jnp.sum(tri1 >= 0)) > 50  # the workload actually hits
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+    both = np.asarray((tri1 >= 0) & (tri2 >= 0))
+    np.testing.assert_allclose(
+        np.asarray(t1)[both], np.asarray(t2)[both], rtol=2e-5, atol=2e-6
+    )
+
+
+def test_pallas_odd_sizes_and_multi_chunk():
+    """Ray counts that don't divide the tile, triangle counts that
+    don't divide the chunk, and >1 chunk all round-trip correctly."""
+    mesh_arrays = procedural_mesh(700, pos=(0, 0, -3), size=(2, 2, 2))
+    sd = SceneDef(settings=RenderSettings(width=8, height=8))
+    obj = ObjectDef("mesh", pos=(0, 0, -3), size=(2, 2, 2), color=(1, 1, 1))
+    obj.mesh = mesh_arrays
+    sd.objects = [obj]
+    scene = build_scene(sd)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(333, aim=(0, 0, -3), seed=7)
+    t1, tri1, _, _ = bruteforce_mesh(mesh, ro, rd, tri_chunk=256)
+    t2, tri2, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, tri_chunk=256, ray_tile=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+
+
+def test_pallas_empty_mesh():
+    class Empty:
+        v = jnp.zeros((0, 3, 3), jnp.float32)
+
+    ro, rd = _rays(64)
+    t, tri, bt, tt = bruteforce_mesh_pallas(Empty(), ro, rd)
+    assert int(jnp.sum(tri >= 0)) == 0
