@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rendering_tpu.accel.bvh import FlatBVH, build_bvh
+from rendering_tpu.accel.bvh import FlatBVH, build_bvh, morton_order
 from rendering_tpu.models.objloader import euler_matrix
 from rendering_tpu.models.parser import SceneDef, parse_scene
 from rendering_tpu.models.settings import RenderSettings
@@ -130,6 +130,10 @@ class MeshData:
     diffuse_map: Optional[jnp.ndarray]   # (Hd*Wd, 3) or None
     normal_map: Optional[jnp.ndarray]    # (Hn*Wn, 3) or None
     specular_map: Optional[jnp.ndarray]  # (Hs*Ws,) or None
+    # Spatial triangle permutation (accel.bvh.morton_order); the dense
+    # Pallas kernel iterates triangles in this order for tight chunk
+    # AABBs and maps hit ids back. All other arrays stay in load order.
+    morton_perm: Optional[jnp.ndarray] = None  # (T,) i32
     leaf_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
     # True when the mesh's true AABB pokes outside the reference's root
     # box (rotated meshes) — only then does dense intersection need the
@@ -263,6 +267,7 @@ def build_scene(sd: SceneDef) -> SceneData:
                         if o.specular_map is not None
                         else None
                     ),
+                    morton_perm=jnp.asarray(morton_order(m.v)),
                     leaf_chunk=st.leaf_chunk,
                     clipped_by_root=clipped,
                 )

@@ -68,6 +68,7 @@ def _kernel(
     tc: int,
     backface_culling: bool,
     use_root_filter: bool,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     chunk = pl.program_id(1)
     base = chunk * tc
@@ -100,19 +101,20 @@ def _kernel(
         _intersect_chunk(
             feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref,
             base, tc=tc, backface_culling=backface_culling,
-            use_root_filter=use_root_filter,
+            use_root_filter=use_root_filter, precision=precision,
         )
 
 
 def _intersect_chunk(
     feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref, base,
     *, tc, backface_culling, use_root_filter,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     out = jax.lax.dot_general(
         coef_ref[...], feats_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (4*Tc, BR)
     det = out[0 * tc : 1 * tc, :]
     tdet = out[1 * tc : 2 * tc, :]
@@ -175,6 +177,7 @@ def bruteforce_mesh_pallas(
     use_root_filter: bool = True,
     ray_tile: int = DEFAULT_RAY_TILE,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Closest hit over all mesh triangles, fused on-chip.
     Interface identical to ops.bruteforce.bruteforce_mesh."""
@@ -192,7 +195,16 @@ def bruteforce_mesh_pallas(
 
     n_chunks = -(-T // tri_chunk)
     t_pad = n_chunks * tri_chunk - T
-    coef = mt_coefficients(mesh.v)  # (13, T, 4)
+    # Iterate triangles in spatial (Morton) order so chunk AABBs are
+    # tight and the in-kernel chunk cull prunes most grid steps; hit
+    # ids are mapped back to load order below. Ties at the exact same
+    # float t resolve by Morton order instead of load order — the same
+    # degenerate-overlap caveat as the reference's leaf-DFS order.
+    perm = getattr(mesh, "morton_perm", None)
+    v = mesh.v if perm is None else mesh.v[perm]
+    reach_lo = mesh.reach_lo if perm is None else mesh.reach_lo[perm]
+    reach_hi = mesh.reach_hi if perm is None else mesh.reach_hi[perm]
+    coef = mt_coefficients(v)  # (13, T, 4)
     coef = jnp.pad(coef, ((0, 0), (0, t_pad), (0, 0)))
     # (C, 4*Tc, 13): rows grouped per quantity within a chunk.
     coef = (
@@ -200,10 +212,10 @@ def bruteforce_mesh_pallas(
         .transpose(1, 3, 2, 0)
         .reshape(n_chunks, 4 * tri_chunk, 13)
     )
-    lo = jnp.pad(mesh.reach_lo, ((0, t_pad), (0, 0))).reshape(
+    lo = jnp.pad(reach_lo, ((0, t_pad), (0, 0))).reshape(
         n_chunks, tri_chunk, 3
     )
-    hi = jnp.pad(mesh.reach_hi, ((0, t_pad), (0, 0))).reshape(
+    hi = jnp.pad(reach_hi, ((0, t_pad), (0, 0))).reshape(
         n_chunks, tri_chunk, 3
     )
     # Chunk AABBs for the in-kernel cull. With the root filter on, a hit
@@ -212,10 +224,10 @@ def bruteforce_mesh_pallas(
     # raw vertex bounds. Padding is min/max-neutral; inverted (empty)
     # clipped boxes never extend a union.
     if use_root_filter:
-        ub_lo, ub_hi = mesh.reach_lo, mesh.reach_hi
+        ub_lo, ub_hi = reach_lo, reach_hi
     else:
-        ub_lo = jnp.min(mesh.v, axis=1)
-        ub_hi = jnp.max(mesh.v, axis=1)
+        ub_lo = jnp.min(v, axis=1)
+        ub_hi = jnp.max(v, axis=1)
     ub_lo = jnp.pad(ub_lo, ((0, t_pad), (0, 0)), constant_values=_FMAX)
     ub_hi = jnp.pad(ub_hi, ((0, t_pad), (0, 0)), constant_values=-_FMAX)
     cbox = jnp.concatenate(
@@ -249,6 +261,7 @@ def bruteforce_mesh_pallas(
         tc=tri_chunk,
         backface_culling=backface_culling,
         use_root_filter=use_root_filter,
+        precision=precision,
     )
     t_out, tri_out = pl.pallas_call(
         kernel,
@@ -282,6 +295,11 @@ def bruteforce_mesh_pallas(
 
     t_best = t_out[0, :R]
     tri_best = tri_out[0, :R]
+    if perm is None:
+        tri_remap = tri_best
+    else:
+        tri_remap = perm[jnp.maximum(tri_best, 0)].astype(jnp.int32)
+    tri_best = jnp.where(tri_best >= 0, tri_remap, -1)
     found = tri_best >= 0
     t_best = jnp.where(found, t_best, FLT_MAX)
     tri_tests = jnp.asarray(R, jnp.int32) * jnp.asarray(T, jnp.int32)

@@ -44,7 +44,8 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     w, h = st.settings.width, st.settings.height
     ro, rd, pix = primary_rays(scene, offset=1.0)
     if st.settings.show_normals:
-        accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+        colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+        accum3 = jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(colors3)
         stats = _zero_stats()
         stats["rays_casted"] = jnp.asarray(w * h, jnp.int32)
     else:
@@ -110,7 +111,7 @@ def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     global max. Full grid, single +0.5 offset, no SSAA."""
     st = scene.static
     w, h = st.settings.width, st.settings.height
-    ro, rd, _ = primary_rays(scene, offset=0.5)
+    ro, rd, pix = primary_rays(scene, offset=0.5)
 
     q = w * h
     block = min(ray_block, q)
@@ -131,6 +132,7 @@ def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     counts = jax.lax.map(
         body, (ro_p.reshape(nb, block, 3), rd_p.reshape(nb, block, 3))
     ).reshape(-1)[:q]
+    counts = jnp.zeros((q,), jnp.int32).at[pix].set(counts)
     ac_max = jnp.maximum(jnp.max(counts), 1)
     val = counts.astype(jnp.float32) / ac_max.astype(jnp.float32)
     return jnp.broadcast_to(val[None, :], (3, q)).reshape(3, h, w)

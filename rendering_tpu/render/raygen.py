@@ -38,8 +38,30 @@ def pixel_dirs(scene, xs, ys, offset_x: float, offset_y: float):
     return d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
 
 
-def primary_rays(scene, offset: float = 1.0):
-    """Full-frame ray grid, row-major pixel order (pix = y*W + x).
+def tile_order(w: int, h: int, tw: int = 32, th: int = 16):
+    """Pixel permutation grouping screen tiles of tw x th contiguously
+    (row-major within a tile, tiles row-major; ragged edges fold into
+    their tile). The TPU analogue of the reference's 128x128 tile
+    scheduler (src/scene.cpp:362-379) — here tiles exist so that each
+    ray batch the intersection kernel sees is a compact screen rect,
+    which maximizes its per-chunk AABB culling. Pure reordering: the
+    pix ids carried through the scatter-add make the frame identical.
+    """
+    import numpy as np
+
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    key = (
+        ((ys // th) * ((w + tw - 1) // tw) + (xs // tw)) * (tw * th)
+        + (ys % th) * tw
+        + (xs % tw)
+    )
+    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+
+
+def primary_rays(scene, offset: float = 1.0, *, tiled: bool = True):
+    """Full-frame ray grid. Pixel id (pix = y*W + x) rides with each
+    ray; rays are emitted in screen-tile order when `tiled` (see
+    tile_order) so downstream blocks are spatially coherent.
     Returns (ro, rd, pix) with shapes (R, 3), (R, 3), (R,)."""
     st = scene.static.settings
     w, h = st.width, st.height
@@ -50,7 +72,12 @@ def primary_rays(scene, offset: float = 1.0):
     )
     xs = xs.reshape(-1)
     ys = ys.reshape(-1)
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    if tiled:
+        perm = jnp.asarray(tile_order(w, h))
+        xs = xs[perm]
+        ys = ys[perm]
+        pix = perm
     rd = pixel_dirs(scene, xs, ys, offset, offset)
     ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
-    pix = jnp.arange(w * h, dtype=jnp.int32)
     return ro, rd, pix
