@@ -134,6 +134,10 @@ class MeshData:
     # Pallas kernel iterates triangles in this order for tight chunk
     # AABBs and maps hit ids back. All other arrays stay in load order.
     morton_perm: Optional[jnp.ndarray] = None  # (T,) i32
+    # Prebuilt kernel-format chunk tables (ops.pallas_intersect
+    # .IntersectTables) — the baked acceleration structure for the
+    # fused intersection kernel. None on hand-built test meshes.
+    itables: Optional[object] = None
     leaf_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
     # True when the mesh's true AABB pokes outside the reference's root
     # box (rotated meshes) — only then does dense intersection need the
@@ -271,6 +275,21 @@ def build_scene(sd: SceneDef) -> SceneData:
                     leaf_chunk=st.leaf_chunk,
                     clipped_by_root=clipped,
                 )
+            )
+            # Bake the fused-kernel chunk tables (the reference builds
+            # its BVH here too, src/objects.cpp:389). Kept out of the
+            # traced render: tracing this at 250k tris costs minutes.
+            from rendering_tpu.ops.pallas_intersect import (
+                build_intersect_tables,
+            )
+
+            meshes[-1] = dataclasses.replace(
+                meshes[-1],
+                itables=build_intersect_tables(
+                    meshes[-1],
+                    tri_chunk=st.tri_chunk,
+                    use_root_filter=st.use_ac and clipped,
+                ),
             )
             mesh_statics.append(
                 MeshStatic(

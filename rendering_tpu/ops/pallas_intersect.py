@@ -1,30 +1,50 @@
-"""Fused Pallas TPU kernel for dense ray-mesh closest hit.
+"""Fused Pallas TPU kernel for ray-mesh intersection (any mesh size).
 
 Same math as ops/bruteforce_mxu.py (the MXU bilinear-form
 Moller-Trumbore: reference semantics of src/objects.cpp:59-95 with the
-root-box reach filter replicating src/objects.cpp:534-570 +
-:737-760), but fused: the (rays, 4*tri_chunk) matmul output never
-leaves VMEM. The unfused XLA path writes + re-reads that intermediate
-through HBM every chunk (~250x the kernel's true I/O: inputs are 13
-floats/ray + 52 floats/tri, outputs 8 bytes/ray), which is the
-dominant cost of a frame. Here:
+root-box reach filter replicating src/objects.cpp:534-570 + :737-760),
+restructured TPU-first:
 
-  grid = (ray_tiles, tri_chunks)   # chunk dim innermost
-  per step: (4*Tc, 13) @ (13, BR) on the MXU -> epilogue on the VPU
-  -> running (t_best, tri_best) kept resident in the revisited
-  (1, BR) output block.
+  triangles -> Morton-ordered chunks of `tri_chunk` (precomputed
+               coefficient/AABB tables: build_intersect_tables — the
+               baked acceleration structure, rebuilt on geometry
+               updates like the reference rebuilds its BVH)
+  grid = (ray_tiles, chunks)     # Mosaic double-buffers chunk tables
+  per step: slab-test the chunk AABB against the tile's rays (and the
+            per-ray running t / done state); if no ray can accept a
+            hit, skip the compute; else (4*Tc, 13) x (13, BR-rays) on
+            the MXU + accept/min epilogue on the VPU, updating the
+            running (t, tri) held in the tile's revisited output block.
+
+Two modes:
+  * closest-hit (primary/bounce rays): running minimum + triangle id.
+  * any-hit (shadow rays, mode="any"): a ray that finds ANY accepted
+    hit below its limit marks itself done (t <- -1), which the chunk
+    cull treats as "skip" — surface-origin shadow rays typically
+    resolve on their first live (local) chunk and prune the rest of
+    the mesh. Matches trace_occlusion's boolean semantics exactly.
+
+A fully manual-DMA variant (chunk tables fetched only when live) cut
+table traffic further but hits an opaque TPU runtime abort on this
+platform for many-live-chunk workloads (see git history); the
+grid-pipelined form streams every chunk table but double-buffers the
+traffic behind compute and is robust at every size tested (1.5k-250k
+triangles).
 
 Layout is rays-on-lanes / triangles-on-sublanes: per-ray scalars are
-rows of an (8, R) aux array (broadcast along sublanes is free), the
-closest-hit reduction is a sublane-dimension min, and the outputs are
-compact (1, R) vectors — no 128-lane padding of per-ray vec3s anywhere.
+rows of an (8, R) aux array (sublane broadcast is free), per-chunk
+tables are Mosaic-blocked, the closest-hit reduction is a
+sublane-dimension min, and outputs are compact (1, R) vectors.
 
-This is a discrete hit ORACLE (t, triangle id): the integrator runs it
-under stop_gradient and re-evaluates the accepted hit differentiably,
-so no custom VJP is needed.
+This is a discrete hit ORACLE (t / triangle id / occlusion bit): the
+integrator runs it under stop_gradient and re-evaluates accepted hits
+differentiably, so no custom VJP is needed.
 
-Tie-breaking matches ops/bruteforce.py exactly: strict `t < t_best`
-across chunks (earlier chunk wins), lowest triangle id within a chunk.
+Tie-breaking: strict `t < t_best` across chunks and lowest in-chunk
+row on equal t — i.e. Morton order, which differs from the jnp
+oracle's load order ONLY when two distinct triangles hit at the exact
+same f32 t (degenerate overlaps; same caveat as the reference's
+leaf-DFS order).
 """
 
 from __future__ import annotations
@@ -39,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rendering_tpu.ops.geometry import FLT_MAX
 
 DEFAULT_RAY_TILE = 512
-_FMAX = float(FLT_MAX)  # python literal — pallas kernels can't capture arrays
+_FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 
 
 def _ray_features_t(roT: jnp.ndarray, rdT: jnp.ndarray) -> jnp.ndarray:
@@ -62,13 +82,14 @@ def _kernel(
     hi_ref,      # (Tc, 3) VMEM
     aux_ref,     # (8, BR) VMEM — rows [ro xyz, 1/rd xyz, t0, unused]
     cbox_ref,    # (C, 8) SMEM — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
-    t_ref,       # (1, BR) VMEM out — running best t
+    t_ref,       # (1, BR) VMEM out — running best t (-1 = done, any-hit)
     tri_ref,     # (1, BR) VMEM out — running best triangle id
     *,
     tc: int,
     backface_culling: bool,
     use_root_filter: bool,
-    precision=jax.lax.Precision.HIGHEST,
+    anyhit: bool,
+    precision,
 ):
     chunk = pl.program_id(1)
     base = chunk * tc
@@ -79,14 +100,16 @@ def _kernel(
         tri_ref[...] = jnp.full(tri_ref.shape, -1, jnp.int32)
 
     # Chunk-level cull: a triangle in this chunk can only be accepted if
-    # the ray crosses the chunk's AABB at some t in [0, t_best). Skipping
-    # the whole grid step when no ray in the tile qualifies is the SPMD
-    # analogue of a 2-level BVH — the per-ray accept tests below are
-    # unchanged, so results are identical. Comparisons are negated so a
-    # NaN slab value (rd_c == 0 with origin on the box plane) keeps the
-    # chunk live (conservative), never skips it.
-    ctmin = jnp.full(t_ref.shape, -_FMAX, jnp.float32)
-    ctmax = jnp.full(t_ref.shape, _FMAX, jnp.float32)
+    # the ray crosses the chunk's AABB at some t in [0, t_best) and the
+    # ray is not already resolved (any-hit done marker t_best < 0).
+    # Skipping the whole grid step when no ray in the tile qualifies is
+    # the SPMD analogue of a 2-level BVH — the per-ray accept tests
+    # below are unchanged, so results are identical. Comparisons are
+    # negated so a NaN slab value (rd_c == 0 with origin on the box
+    # plane) keeps the chunk live (conservative), never skips it.
+    t_run = t_ref[...]
+    ctmin = jnp.full(t_run.shape, -_FMAX, jnp.float32)
+    ctmax = jnp.full(t_run.shape, _FMAX, jnp.float32)
     for c in range(3):
         ro_c = aux_ref[c : c + 1, :]
         inv_c = aux_ref[3 + c : 4 + c, :]
@@ -94,21 +117,21 @@ def _kernel(
         t2 = (cbox_ref[chunk, 3 + c] - ro_c) * inv_c
         ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
         ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
-    live = ~((ctmin > ctmax) | (ctmax < 0) | (ctmin >= t_ref[...]))
+    live = ~((ctmin > ctmax) | (ctmax < 0) | (ctmin >= t_run) | (t_run < 0))
 
     @pl.when(jnp.any(live))
     def _compute():
         _intersect_chunk(
             feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref,
             base, tc=tc, backface_culling=backface_culling,
-            use_root_filter=use_root_filter, precision=precision,
+            use_root_filter=use_root_filter, anyhit=anyhit,
+            precision=precision,
         )
 
 
 def _intersect_chunk(
     feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref, base,
-    *, tc, backface_culling, use_root_filter,
-    precision=jax.lax.Precision.HIGHEST,
+    *, tc, backface_culling, use_root_filter, anyhit, precision,
 ):
     out = jax.lax.dot_general(
         coef_ref[...], feats_ref[...],
@@ -153,53 +176,82 @@ def _intersect_chunk(
 
     t_prev = t_ref[...]                      # (1, BR)
     ok = ok & (t < jnp.broadcast_to(t_prev, t.shape))
+
+    if anyhit:
+        # Occlusion query: any accepted hit below the limit resolves the
+        # ray; done rays (t = -1) never re-accept (t < -1 is false).
+        hit_any = jnp.any(ok, axis=0, keepdims=True)        # (1, BR)
+        t_ref[...] = jnp.where(hit_any, -1.0, t_prev)
+        tri_ref[...] = jnp.where(hit_any, 0, tri_ref[...])
+        return
+
     tm = jnp.where(ok, t, _FMAX)
     t_min = jnp.min(tm, axis=0, keepdims=True)          # (1, BR)
-    better = t_min < t_prev                              # strict: earlier chunk wins ties
+    better = t_min < t_prev                 # strict: earlier chunk wins ties
     rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-    lane = jnp.min(
-        jnp.where(tm == jnp.broadcast_to(t_min, tm.shape), rows, jnp.int32(2**30)),
+    row = jnp.min(
+        jnp.where(tm == jnp.broadcast_to(t_min, tm.shape), rows,
+                  jnp.int32(2**30)),
         axis=0,
         keepdims=True,
     )
     t_ref[...] = jnp.where(better, t_min, t_prev)
-    tri_ref[...] = jnp.where(better, base + lane, tri_ref[...])
+    tri_ref[...] = jnp.where(better, base + row, tri_ref[...])
 
 
-def bruteforce_mesh_pallas(
-    mesh,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
-    t_limit: jnp.ndarray | None = None,
-    *,
-    backface_culling: bool = True,
-    tri_chunk: int = 256,
-    use_root_filter: bool = True,
-    ray_tile: int = DEFAULT_RAY_TILE,
-    interpret: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
-):
-    """Closest hit over all mesh triangles, fused on-chip.
-    Interface identical to ops.bruteforce.bruteforce_mesh."""
-    T = int(mesh.v.shape[0])
-    R = ro.shape[0]
-    if T == 0:
-        z = jnp.zeros((), jnp.int32)
+class IntersectTables:
+    """Precomputed, Morton-ordered chunk tables for the Pallas kernel —
+    the TPU analogue of the reference's built acceleration structure
+    (src/objects.cpp:461-530): geometry is baked into kernel-layout
+    coefficient/AABB tables once per scene build. Rebuild after any
+    geometry update, exactly as the reference rebuilds its BVH per run;
+    within a render the tables are the oracle's geometry snapshot (hit
+    topology is stop_gradient'd anyway, and accepted hits are
+    re-evaluated from live vertices)."""
+
+    def __init__(self, tri_chunk, use_root_filter, perm, coef, lo, hi,
+                 cbox):
+        self.tri_chunk = tri_chunk
+        self.use_root_filter = use_root_filter
+        self.perm = perm      # (T,) i32 or None
+        self.coef = coef      # (C, 4*Tc, 13)
+        self.lo = lo          # (C, Tc, 3)
+        self.hi = hi          # (C, Tc, 3)
+        self.cbox = cbox      # (C, 8)
+
+    def tree_flatten(self):
         return (
-            jnp.full((R,), FLT_MAX, jnp.float32),
-            jnp.full((R,), -1, jnp.int32),
-            z, z,
+            (self.perm, self.coef, self.lo, self.hi, self.cbox),
+            (self.tri_chunk, self.use_root_filter),
         )
 
+    @classmethod
+    def tree_unflatten(cls, static, dyn):
+        return cls(static[0], static[1], *dyn)
+
+
+jax.tree_util.register_pytree_node(
+    IntersectTables,
+    lambda t: t.tree_flatten(),
+    IntersectTables.tree_unflatten,
+)
+
+
+def build_intersect_tables(
+    mesh, *, tri_chunk: int = 256, use_root_filter: bool = True
+):
+    """Build the kernel-format chunk tables for a mesh. Call once per
+    scene build (eagerly, device-side) — keeping this out of the traced
+    render removes minutes of trace time and hundreds of MB of in-graph
+    temporaries for 250k-triangle meshes."""
     from rendering_tpu.ops.bruteforce_mxu import mt_coefficients
 
+    T = int(mesh.v.shape[0])
+    if T == 0:
+        return None
     n_chunks = -(-T // tri_chunk)
     t_pad = n_chunks * tri_chunk - T
-    # Iterate triangles in spatial (Morton) order so chunk AABBs are
-    # tight and the in-kernel chunk cull prunes most grid steps; hit
-    # ids are mapped back to load order below. Ties at the exact same
-    # float t resolve by Morton order instead of load order — the same
-    # degenerate-overlap caveat as the reference's leaf-DFS order.
+
     perm = getattr(mesh, "morton_perm", None)
     v = mesh.v if perm is None else mesh.v[perm]
     reach_lo = mesh.reach_lo if perm is None else mesh.reach_lo[perm]
@@ -218,10 +270,11 @@ def bruteforce_mesh_pallas(
     hi = jnp.pad(reach_hi, ((0, t_pad), (0, 0))).reshape(
         n_chunks, tri_chunk, 3
     )
+
     # Chunk AABBs for the in-kernel cull. With the root filter on, a hit
     # additionally requires crossing the (clipped) reach box, so the
-    # union of reach boxes bounds all acceptable hits; without it, use
-    # raw vertex bounds. Padding is min/max-neutral; inverted (empty)
+    # union of reach boxes bounds all acceptable hits; without it, raw
+    # vertex bounds. Padding is min/max-neutral; inverted (empty)
     # clipped boxes never extend a union.
     if use_root_filter:
         ub_lo, ub_hi = reach_lo, reach_hi
@@ -238,29 +291,79 @@ def bruteforce_mesh_pallas(
         ],
         axis=1,
     )  # (C, 8)
+    return IntersectTables(tri_chunk, use_root_filter, perm, coef, lo, hi,
+                           cbox)
+
+
+def bruteforce_mesh_pallas(
+    mesh,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    t_limit: jnp.ndarray | None = None,
+    *,
+    backface_culling: bool = True,
+    tri_chunk: int = 256,
+    use_root_filter: bool = True,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+    tables: "IntersectTables | None" = None,
+    mode: str = "closest",
+):
+    """Closest hit (mode="closest") or occlusion query (mode="any") over
+    all mesh triangles, fused on-chip. Interface matches
+    ops.bruteforce.bruteforce_mesh; in any-hit mode the returned tri is
+    0 where the ray is occluded within t_limit and -1 otherwise (t is
+    FLT_MAX). Pass prebuilt `tables` (build_intersect_tables) to skip
+    in-graph table construction; they must match tri_chunk and
+    use_root_filter."""
+    T = int(mesh.v.shape[0])
+    R = ro.shape[0]
+    anyhit = mode == "any"
+    if T == 0:
+        z = jnp.zeros((), jnp.int32)
+        return (
+            jnp.full((R,), FLT_MAX, jnp.float32),
+            jnp.full((R,), -1, jnp.int32),
+            z, z,
+        )
+
+    if tables is None:
+        tables = build_intersect_tables(
+            mesh, tri_chunk=tri_chunk, use_root_filter=use_root_filter
+        )
+    else:
+        assert tables.tri_chunk == tri_chunk
+        assert tables.use_root_filter == use_root_filter
+    tb = tables
+    n_chunks = -(-T // tri_chunk)
+    perm = tb.perm
 
     n_tiles = -(-R // ray_tile)
     r_pad = n_tiles * ray_tile - R
-    roT = ro.T
-    rdT = rd.T
+    rp = n_tiles * ray_tile
     t0 = jnp.full((R,), FLT_MAX, jnp.float32)
     if t_limit is not None:
         t0 = jnp.minimum(t0, t_limit)
+    ro_p, rd_p = ro, rd
     if r_pad:
-        roT = jnp.pad(roT, ((0, 0), (0, r_pad)))
-        rdT = jnp.pad(rdT, ((0, 0), (0, r_pad)), constant_values=1.0)
+        ro_p = jnp.pad(ro, ((0, r_pad), (0, 0)))
+        rd_p = jnp.pad(rd, ((0, r_pad), (0, 0)), constant_values=1.0)
         t0 = jnp.pad(t0, (0, r_pad))
+    roT = ro_p.T
+    rdT = rd_p.T
     feats = _ray_features_t(roT, rdT)  # (13, Rp)
     aux = jnp.concatenate(
-        [roT, 1.0 / rdT, t0[None, :], jnp.zeros_like(t0)[None, :]], axis=0
+        [roT, 1.0 / rdT, t0[None, :], jnp.zeros_like(t0)[None, :]],
+        axis=0,
     )  # (8, Rp)
 
-    rp = n_tiles * ray_tile
     kernel = functools.partial(
         _kernel,
         tc=tri_chunk,
         backface_culling=backface_culling,
         use_root_filter=use_root_filter,
+        anyhit=anyhit,
         precision=precision,
     )
     t_out, tri_out = pl.pallas_call(
@@ -291,10 +394,18 @@ def bruteforce_mesh_pallas(
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
         interpret=interpret,
-    )(feats, coef, lo, hi, aux, cbox)
+    )(feats, tb.coef, tb.lo, tb.hi, aux, tb.cbox)
 
     t_best = t_out[0, :R]
     tri_best = tri_out[0, :R]
+    tri_tests = jnp.asarray(R, jnp.int32) * jnp.asarray(T, jnp.int32)
+    if anyhit:
+        return (
+            jnp.full((R,), FLT_MAX, jnp.float32),
+            tri_best,
+            jnp.zeros((), jnp.int32),
+            tri_tests,
+        )
     if perm is None:
         tri_remap = tri_best
     else:
@@ -302,5 +413,4 @@ def bruteforce_mesh_pallas(
     tri_best = jnp.where(tri_best >= 0, tri_remap, -1)
     found = tri_best >= 0
     t_best = jnp.where(found, t_best, FLT_MAX)
-    tri_tests = jnp.asarray(R, jnp.int32) * jnp.asarray(T, jnp.int32)
     return t_best, tri_best, jnp.zeros((), jnp.int32), tri_tests

@@ -42,7 +42,13 @@ def fresnel(direction, normal, ior):
     outside_medium = cosi > 0  # note: fresnel's n1/n2 swap is on cosi > 0
     n1 = jnp.where(outside_medium, ior, 1.0)
     n2 = jnp.where(outside_medium, 1.0, ior)
-    sint = n1 / n2 * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    # double-where: at cosi == +-1 (head-on hits) sin^2 is exactly 0 and
+    # sqrt'(0) = inf would poison reverse mode through the masked lanes.
+    sin2 = jnp.maximum(0.0, 1.0 - cosi * cosi)
+    head_on = sin2 <= 0.0
+    sint = n1 / n2 * jnp.where(
+        head_on, 0.0, jnp.sqrt(jnp.where(head_on, 1.0, sin2))
+    )
     tir = sint >= 1.0
     cost = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(0.0, 1.0 - sint * sint)))
     cosi_a = jnp.abs(cosi)

@@ -92,10 +92,12 @@ def _gather_tri9(table9, idx):
     return a, b, c
 
 
-def _mesh_oracle(mesh, settings, ro, rd, t_limit):
-    """Discrete mesh hit: dense chunked Moller-Trumbore for shotgun-class
-    meshes (TPU fast path, zero gathers), lockstep threaded-BVH walk for
-    big meshes. Returns (tri_id, box_tests, tri_tests)."""
+def _mesh_oracle(mesh, settings, ro, rd, t_limit, mode: str = "closest"):
+    """Discrete mesh hit: fused Pallas kernel on TPU (closest-hit or
+    any-hit occlusion mode), dense chunked Moller-Trumbore on other
+    backends, lockstep threaded-BVH walk for big meshes on CPU.
+    Returns (tri_id, box_tests, tri_tests); in any-hit mode tri_id >= 0
+    means occluded within t_limit."""
     import jax as _jax
 
     from rendering_tpu.ops.bruteforce import bruteforce_mesh
@@ -103,12 +105,26 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit):
     from rendering_tpu.ops.pallas_intersect import bruteforce_mesh_pallas
 
     t_count = int(mesh.v.shape[0])
-    if t_count <= settings.bruteforce_threshold:
-        if (
-            settings.use_pallas_intersect
-            and _jax.default_backend() == "tpu"
-        ):
+    use_pallas = (
+        settings.use_pallas_intersect and _jax.default_backend() == "tpu"
+    )
+    # The Pallas kernel handles every mesh size (chunk AABB cull +
+    # any-hit early-out); the jnp dense paths are only competitive below
+    # the bruteforce threshold, above which the lockstep BVH walk is the
+    # CPU fallback.
+    if use_pallas or t_count <= settings.bruteforce_threshold:
+        root_filter = settings.use_ac and mesh.clipped_by_root
+        kw = {}
+        if use_pallas:
             fn = bruteforce_mesh_pallas
+            kw["mode"] = mode
+            tables = getattr(mesh, "itables", None)
+            if (
+                tables is not None
+                and tables.tri_chunk == settings.tri_chunk
+                and tables.use_root_filter == root_filter
+            ):
+                kw["tables"] = tables
         elif settings.use_mxu_intersect:
             fn = bruteforce_mesh_mxu
         else:
@@ -117,7 +133,8 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit):
             mesh, ro, rd, t_limit,
             backface_culling=settings.use_backface_culling,
             tri_chunk=settings.tri_chunk,
-            use_root_filter=settings.use_ac and mesh.clipped_by_root,
+            use_root_filter=root_filter,
+            **kw,
         )
         return tri, bt, tt
     r = traverse_bvh(
@@ -261,7 +278,7 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
         if not mesh_mask[mi]:
             continue
         tri_d, bt, tt = _mesh_oracle(
-            jax.lax.stop_gradient(mesh), settings, ro, rd, dist
+            jax.lax.stop_gradient(mesh), settings, ro, rd, dist, mode="any"
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt

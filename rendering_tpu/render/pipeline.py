@@ -138,6 +138,29 @@ def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     return jnp.broadcast_to(val[None, :], (3, q)).reshape(3, h, w)
 
 
+def derive_mesh_tables(scene):
+    """Re-derive the transposed gather tables (vT/nT/uvT/tanT/bitT) from
+    the canonical per-triangle arrays INSIDE the traced program, so
+    `jax.grad` w.r.t. vertices/normals/uvs/tangents flows through the
+    differentiable hit re-evaluation (the build-time copies are
+    unconnected constants). One transpose per render — XLA hoists it
+    out of the bounce loop."""
+    import dataclasses
+
+    meshes = tuple(
+        dataclasses.replace(
+            m,
+            vT=m.v.reshape(-1, 9).T,
+            nT=m.n.reshape(-1, 9).T,
+            uvT=m.uv.reshape(-1, 6).T,
+            tanT=m.tangent.T,
+            bitT=m.bitangent.T,
+        )
+        for m in scene.meshes
+    )
+    return dataclasses.replace(scene, meshes=meshes)
+
+
 @functools.partial(jax.jit, static_argnames=("ray_block",))
 def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     """Full jitted render: returns (frame3 (3, H, W) f32, aux dict).
@@ -145,6 +168,7 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     aux contains device-side stats counters and the SSAA mask size
     (for capacity-overflow detection host-side).
     """
+    scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
     if settings.show_ac:

@@ -119,3 +119,81 @@ def test_grad_no_nans_full_tree():
         arr = np.asarray(leaf)
         if arr.dtype.kind == "f":
             assert np.all(np.isfinite(arr)), f"non-finite grad at {path}"
+
+
+def test_grad_mesh_vertex_matches_fd():
+    """d(loss)/d(vertex coordinate) via jax.grad vs central FD — guards
+    the vT/nT re-derivation in render_scene (pipeline.derive_mesh_tables):
+    the build-time transposed tables are unconnected constants, so
+    without the in-graph derivation this gradient is silently zero."""
+    from rendering_tpu.flagship import procedural_mesh
+
+    st = RenderSettings(
+        width=24, height=18, enable_ssaa=False, enable_output=False,
+        output_progress=False, background_color=(0.2, 0.2, 0.25),
+    )
+    sd = SceneDef(settings=st)
+    # Distant light travelling into the scene: shadow rays leave the
+    # mesh toward the camera, so the coarse bumpy test mesh cannot
+    # fully self-shadow (which would clamp every lighting term and
+    # legitimately zero these gradients).
+    sd.lights = [
+        LightDef("distant", color=(1, 1, 1), intensity=0.8,
+                 dir=(0.1, -0.2, -1.0)),
+    ]
+    obj = ObjectDef(
+        "mesh", pos=(0, 0, -3), size=(1.6, 1.6, 1.6), color=(0.9, 0.5, 0.3),
+        material="phong", ambient=0.2, diffuse=0.6, specular=0.3,
+        n_specular=10.0,
+    )
+    obj.mesh = procedural_mesh(200, pos=(0, 0, -3), size=(1.6, 1.6, 1.6))
+    sd.objects = [obj]
+    scene = build_scene(sd)
+
+    # full-gradient must be connected and finite, then FD-check the
+    # single coordinate with the largest magnitude (guaranteed visible)
+    def loss_v(v):
+        m2 = dataclasses.replace(scene.meshes[0], v=v)
+        return _loss(dataclasses.replace(scene, meshes=(m2,)))
+
+    g_full = jax.grad(loss_v)(scene.meshes[0].v)
+    assert np.all(np.isfinite(np.asarray(g_full)))
+    assert float(jnp.abs(g_full).sum()) > 0.1
+    idx = np.unravel_index(int(jnp.argmax(jnp.abs(g_full))), g_full.shape)
+
+    def get(s):
+        return float(s.meshes[0].v[idx])
+
+    def set_(s, val):
+        m = s.meshes[0]
+        m2 = dataclasses.replace(m, v=m.v.at[idx].set(val))
+        return dataclasses.replace(s, meshes=(m2,) + s.meshes[1:])
+
+    g_ad = float(g_full[idx])
+    g_fd = _fd(scene, get, set_, 2e-4)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.05, atol=0.05)
+
+
+def test_grad_mesh_normal_nonzero():
+    """Normals are trainable leaves: d(loss)/d(n) must be connected."""
+    from rendering_tpu.flagship import procedural_mesh
+
+    st = RenderSettings(
+        width=16, height=12, enable_ssaa=False, enable_output=False,
+        output_progress=False,
+    )
+    sd = SceneDef(settings=st)
+    sd.lights = [LightDef("distant", color=(1, 1, 1), intensity=0.8,
+                          dir=(0.1, -0.2, -1.0))]
+    obj = ObjectDef("mesh", pos=(0, 0, -3), size=(1.6, 1.6, 1.6),
+                    color=(1, 1, 1))
+    obj.mesh = procedural_mesh(128, pos=(0, 0, -3), size=(1.6, 1.6, 1.6))
+    sd.objects = [obj]
+    scene = build_scene(sd)
+
+    def loss_n(n):
+        m2 = dataclasses.replace(scene.meshes[0], n=n)
+        return _loss(dataclasses.replace(scene, meshes=(m2,)))
+
+    g = jax.grad(loss_n)(scene.meshes[0].n)
+    assert float(jnp.sum(jnp.abs(g))) > 0.0

@@ -87,6 +87,66 @@ def test_pallas_odd_sizes_and_multi_chunk():
     np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
 
 
+def test_pallas_many_chunks():
+    """tri_chunk=16 with 700 tris -> 44 chunks: multi-chunk streaming
+    must agree with the jnp dense oracle."""
+    mesh_arrays = procedural_mesh(700, pos=(0, 0, -3), size=(2, 2, 2))
+    sd = SceneDef(settings=RenderSettings(width=8, height=8))
+    obj = ObjectDef("mesh", pos=(0, 0, -3), size=(2, 2, 2), color=(1, 1, 1))
+    obj.mesh = mesh_arrays
+    sd.objects = [obj]
+    scene = build_scene(sd)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(300, aim=(0, 0, -3), seed=9)
+    t1, tri1, _, _ = bruteforce_mesh(mesh, ro, rd, tri_chunk=16)
+    t2, tri2, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, tri_chunk=16, ray_tile=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+
+
+def test_pallas_anyhit_mode():
+    """mode="any" must return occluded (tri >= 0) exactly where the
+    closest-hit oracle finds a hit strictly below t_limit — including
+    surface-origin rays (the shadow-ray workload it exists for)."""
+    scene = build_flagship_scene(width=64, height=32, enable_ssaa=False)
+    mesh = scene.meshes[0]
+    rng = np.random.default_rng(3)
+    # half random rays, half rays from points on the mesh surface
+    ro, rd = _rays(400, aim=(-0.1, 0, -0.6), seed=3)
+    v = np.asarray(mesh.v)
+    idx = rng.integers(0, len(v), 200)
+    surf = v[idx].mean(1)
+    ro = ro.at[:200].set(jnp.asarray(surf + 1e-4))
+    t_limit = jnp.asarray(rng.uniform(0.1, 10.0, (400,)), jnp.float32)
+
+    t_ref, tri_ref, _, _ = bruteforce_mesh(mesh, ro, rd, t_limit)
+    _, occ, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, t_limit, mode="any", interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tri_ref >= 0), np.asarray(occ >= 0)
+    )
+
+
+def test_pallas_prebuilt_tables_match():
+    """Prebuilt tables (scene build) vs in-graph construction: same."""
+    from rendering_tpu.ops.pallas_intersect import build_intersect_tables
+
+    scene = build_flagship_scene(width=64, height=32, enable_ssaa=False)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(300, aim=(-0.1, 0, -0.6), seed=5)
+    tbl = build_intersect_tables(mesh, tri_chunk=256, use_root_filter=True)
+    t1, tri1, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, tri_chunk=256, interpret=True
+    )
+    t2, tri2, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, tri_chunk=256, tables=tbl, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+    assert mesh.itables is not None  # scene build bakes tables
+
+
 def test_pallas_empty_mesh():
     class Empty:
         v = jnp.zeros((0, 3, 3), jnp.float32)
