@@ -76,12 +76,17 @@ def _ray_features_t(roT: jnp.ndarray, rdT: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(
+    # scalar prefetch (SMEM)
+    order_ref,   # (C,) i32 — chunk visit order (near-to-far from the
+                 # ray origins' centroid; lets the running t_best cull
+                 # far chunks and any-hit resolve on local geometry)
+    cbox_ref,    # (C, 8) — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
+    # VMEM blocks (coef/lo/hi are indexed through order_ref)
     feats_ref,   # (13, BR) VMEM
     coef_ref,    # (4*Tc, 13) VMEM — rows [det | tdet | udet | vdet]
     lo_ref,      # (Tc, 3) VMEM — per-tri reach box (root-clipped)
     hi_ref,      # (Tc, 3) VMEM
     aux_ref,     # (8, BR) VMEM — rows [ro xyz, 1/rd xyz, t0, unused]
-    cbox_ref,    # (C, 8) SMEM — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
     t_ref,       # (1, BR) VMEM out — running best t (-1 = done, any-hit)
     tri_ref,     # (1, BR) VMEM out — running best triangle id
     *,
@@ -91,10 +96,10 @@ def _kernel(
     anyhit: bool,
     precision,
 ):
-    chunk = pl.program_id(1)
+    chunk = order_ref[pl.program_id(1)]
     base = chunk * tc
 
-    @pl.when(chunk == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         t_ref[...] = aux_ref[6:7, :]
         tri_ref[...] = jnp.full(tri_ref.shape, -1, jnp.int32)
@@ -358,6 +363,15 @@ def bruteforce_mesh_pallas(
         axis=0,
     )  # (8, Rp)
 
+    # Near-to-far chunk visit order from the ray origins' centroid:
+    # once t_best shrinks, the (ctmin >= t_best) cull rejects farther
+    # chunks; any-hit rays resolve on their local geometry first.
+    # Pure reordering — results are identical up to equal-t ties.
+    origin_c = jnp.mean(jax.lax.stop_gradient(ro), axis=0)
+    chunk_c = (tb.cbox[:, 0:3] + tb.cbox[:, 3:6]) * 0.5
+    dist2 = jnp.sum((chunk_c - origin_c[None, :]) ** 2, axis=1)
+    order = jnp.argsort(dist2).astype(jnp.int32)
+
     kernel = functools.partial(
         _kernel,
         tc=tri_chunk,
@@ -366,35 +380,40 @@ def bruteforce_mesh_pallas(
         anyhit=anyhit,
         precision=precision,
     )
-    t_out, tri_out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((13, ray_tile), lambda i, j: (0, i),
+            pl.BlockSpec((13, ray_tile), lambda i, j, order, cbox: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 4 * tri_chunk, 13), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((None, 4 * tri_chunk, 13),
+                         lambda i, j, order, cbox: (order[j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tri_chunk, 3), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((None, tri_chunk, 3),
+                         lambda i, j, order, cbox: (order[j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tri_chunk, 3), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((None, tri_chunk, 3),
+                         lambda i, j, order, cbox: (order[j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ray_tile), lambda i, j: (0, i),
+            pl.BlockSpec((8, ray_tile), lambda i, j, order, cbox: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chunks, 8), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
+            pl.BlockSpec((1, ray_tile), lambda i, j, order, cbox: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_tile), lambda i, j: (0, i),
+            pl.BlockSpec((1, ray_tile), lambda i, j, order, cbox: (0, i),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    t_out, tri_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
         interpret=interpret,
-    )(feats, tb.coef, tb.lo, tb.hi, aux, tb.cbox)
+    )(order, tb.cbox, feats, tb.coef, tb.lo, tb.hi, aux)
 
     t_best = t_out[0, :R]
     tri_best = tri_out[0, :R]
