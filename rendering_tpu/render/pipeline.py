@@ -208,3 +208,93 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
             f"raise ssaa_capacity_fraction for exact parity"
         )
     return frame, aux
+
+
+def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
+                     resume: bool = True, ray_block: int = DEFAULT_RAY_BLOCK):
+    """Preemption-safe render: the frame is produced in horizontal strips
+    of `strip_rows` pixel rows, checkpointing the accumulated framebuffer
+    and finished-strip mask after each strip (SURVEY sections 5.3/5.4 —
+    the reference is all-or-nothing; this is the TPU-native analogue of
+    per-tile checkpointing). On restart with resume=True, finished
+    strips are skipped. The adaptive-SSAA refinement (whole-frame pass)
+    runs only once all strips are done.
+
+    Returns ((H, W, 3) numpy frame, aux). Strips are independent because
+    every primary ray's full bounce tree lives in its own wavefront
+    queue — identical output to render() by construction.
+    """
+    import dataclasses as _dc
+    import os
+
+    import numpy as np
+
+    from rendering_tpu.diff.checkpoint import load_checkpoint, save_checkpoint
+
+    st = scene.static.settings
+    w, h = st.width, st.height
+    n_strips = -(-h // strip_rows)
+
+    accum3 = np.zeros((3, h * w), np.float32)
+    done = np.zeros((n_strips,), bool)
+    if resume and os.path.exists(checkpoint_path):
+        _step, _p, _o, frame_ck, mask_ck = load_checkpoint(
+            checkpoint_path, {}, {}
+        )
+        if frame_ck is not None and frame_ck.shape == accum3.shape:
+            accum3 = np.asarray(frame_ck)
+            done = np.asarray(mask_ck).astype(bool)
+
+    strip_fn = jax.jit(
+        functools.partial(_render_strip, ray_block=ray_block),
+        static_argnames=("y0", "rows"),
+    )
+    for s in range(n_strips):
+        if done[s]:
+            continue
+        y0 = s * strip_rows
+        rows = min(strip_rows, h - y0)
+        part = strip_fn(scene, y0=y0, rows=rows)
+        accum3 = accum3 + np.asarray(part)
+        done[s] = True
+        save_checkpoint(checkpoint_path, s + 1, {}, {}, frame=accum3,
+                        tile_mask=done)
+
+    frame3 = jnp.asarray(accum3.reshape(3, h, w))
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    frame3 = frame3.at[:, :, w - 1].set(0.0)
+    n_masked = jnp.zeros((), jnp.int32)
+    if st.enable_ssaa and not st.show_ac and not st.show_normals:
+        capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
+        scene_t = derive_mesh_tables(scene)
+        frame3, n_masked, _ = _ssaa_pass(
+            scene_t, frame3, capacity=capacity, ray_block=ray_block
+        )
+    frame = np.asarray(frame3).transpose(1, 2, 0)
+    return frame, {"ssaa_masked": n_masked}
+
+
+def _render_strip(scene, *, y0: int, rows: int, ray_block: int):
+    """Integrate the primary rays of pixel rows [y0, y0+rows) into a
+    full-size flat accumulator (jittable; y0/rows static)."""
+    scene = derive_mesh_tables(scene)
+    st = scene.static.settings
+    w, h = st.width, st.height
+    ys, xs = jnp.meshgrid(
+        jnp.arange(y0, y0 + rows, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    pix = (ys.astype(jnp.int32) * w + xs.astype(jnp.int32))
+    rd = pixel_dirs(scene, xs, ys, 1.0, 1.0)
+    ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
+    if st.show_normals:
+        colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+        return jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(colors3)
+    weight = jnp.ones((rows * w,), jnp.float32)
+    accum3, _stats = integrate(
+        scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
+    )
+    return accum3

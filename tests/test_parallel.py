@@ -82,3 +82,28 @@ def test_sharded_grad_psum(in_workspace, eight_device_mesh):
     g1 = float(jax.grad(loss_single)(x))
     g8 = float(jax.grad(loss_sharded)(x))
     np.testing.assert_allclose(g1, g8, rtol=1e-4)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host helpers degrade gracefully in a single process: no
+    coordinator -> False, topology reflects the virtual 8-device mesh,
+    global mesh spans all devices."""
+    import jax
+
+    from rendering_tpu.parallel.multihost import (
+        initialize_distributed,
+        make_global_ray_mesh,
+        make_host_ray_mesh,
+        process_topology,
+        scaling_report,
+    )
+
+    assert initialize_distributed() is False  # no cluster configured
+    topo = process_topology()
+    assert topo["process_count"] == 1
+    assert topo["global_devices"] == len(jax.devices())
+    mesh = make_global_ray_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert make_host_ray_mesh().devices.size == len(jax.local_devices())
+    rep = scaling_report(1e6, 7.2e6, 8)
+    assert abs(rep["efficiency"] - 0.9) < 1e-6
