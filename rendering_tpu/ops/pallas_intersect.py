@@ -58,7 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rendering_tpu.ops.geometry import FLT_MAX
 
-DEFAULT_RAY_TILE = 512
+DEFAULT_RAY_TILE = 1024
 _FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 
 
@@ -77,11 +77,18 @@ def _ray_features_t(roT: jnp.ndarray, rdT: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(
     # scalar prefetch (SMEM)
-    order_ref,   # (C,) i32 — chunk visit order (near-to-far from the
-                 # ray origins' centroid; lets the running t_best cull
-                 # far chunks and any-hit resolve on local geometry)
+    torder_ref,  # (n_tiles, C) i32 — PER-TILE chunk visit order: the
+                 # tile's geometrically-live chunks first (near-to-far
+                 # from the ray origins' centroid), then the last live
+                 # id repeated. Dead steps therefore keep the same
+                 # block index, so Mosaic skips their table DMA, and
+                 # the count guard below skips their compute — a dead
+                 # (tile, chunk) step costs only grid bookkeeping
+                 # (the naive grid spent ~1us/step on these, which
+                 # dominated large meshes: 81% of a 250k-tri call).
+    counts_ref,  # (n_tiles, 1) i32 — live chunks per tile
     cbox_ref,    # (C, 8) — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
-    # VMEM blocks (coef/lo/hi are indexed through order_ref)
+    # VMEM blocks (coef/lo/hi are indexed through torder_ref)
     feats_ref,   # (13, BR) VMEM
     coef_ref,    # (4*Tc, 13) VMEM — rows [det | tdet | udet | vdet]
     lo_ref,      # (Tc, 3) VMEM — per-tri reach box (root-clipped)
@@ -96,14 +103,32 @@ def _kernel(
     anyhit: bool,
     precision,
 ):
-    chunk = order_ref[pl.program_id(1)]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    chunk = torder_ref[i, j]
     base = chunk * tc
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(j == 0)
     def _init():
         t_ref[...] = aux_ref[6:7, :]
         tri_ref[...] = jnp.full(tri_ref.shape, -1, jnp.int32)
 
+    @pl.when(j < counts_ref[i, 0])
+    def _step():
+        _cull_and_intersect(
+            feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, cbox_ref,
+            t_ref, tri_ref, chunk, base, tc=tc,
+            backface_culling=backface_culling,
+            use_root_filter=use_root_filter, anyhit=anyhit,
+            precision=precision,
+        )
+
+
+def _cull_and_intersect(
+    feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, cbox_ref, t_ref,
+    tri_ref, chunk, base, *, tc, backface_culling, use_root_filter,
+    anyhit, precision,
+):
     # Chunk-level cull: a triangle in this chunk can only be accepted if
     # the ray crosses the chunk's AABB at some t in [0, t_best) and the
     # ray is not already resolved (any-hit done marker t_best < 0).
@@ -363,14 +388,52 @@ def bruteforce_mesh_pallas(
         axis=0,
     )  # (8, Rp)
 
-    # Near-to-far chunk visit order from the ray origins' centroid:
-    # once t_best shrinks, the (ctmin >= t_best) cull rejects farther
-    # chunks; any-hit rays resolve on their local geometry first.
-    # Pure reordering — results are identical up to equal-t ties.
+    # Per-tile compacted chunk visit order. A pre-pass in plain XLA
+    # slab-tests every chunk box against every ray (same negated-NaN
+    # conservatism as the in-kernel cull, reduced with any() per tile);
+    # each tile then visits its geometrically-live chunks first, in
+    # near-to-far order from the ray origins' centroid, with the dead
+    # tail repeating the last live id (same block index -> Mosaic skips
+    # the table DMA; the in-kernel count guard skips the compute). The
+    # in-kernel vector cull still runs on live steps for progressive
+    # t_best / any-hit pruning. Pure visit reordering — results are
+    # identical up to equal-t ties.
     origin_c = jnp.mean(jax.lax.stop_gradient(ro), axis=0)
     chunk_c = (tb.cbox[:, 0:3] + tb.cbox[:, 3:6]) * 0.5
     dist2 = jnp.sum((chunk_c - origin_c[None, :]) ** 2, axis=1)
-    order = jnp.argsort(dist2).astype(jnp.int32)
+    order = jnp.argsort(dist2).astype(jnp.int32)  # (C,) near-to-far
+
+    ro_tiles = jax.lax.stop_gradient(ro_p).reshape(n_tiles, ray_tile, 3)
+    inv_tiles = jax.lax.stop_gradient(1.0 / rd_p).reshape(
+        n_tiles, ray_tile, 3
+    )
+    t0_tiles = jax.lax.stop_gradient(t0).reshape(n_tiles, ray_tile)
+    cbox_o = tb.cbox[order]  # (C, 8) in near-to-far order
+
+    def _tile_live(args):
+        ro_b, inv_b, t0_b = args  # (BR,3), (BR,3), (BR,)
+        t1 = (cbox_o[None, :, 0:3] - ro_b[:, None, :]) * inv_b[:, None, :]
+        t2 = (cbox_o[None, :, 3:6] - ro_b[:, None, :]) * inv_b[:, None, :]
+        ctmin = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (BR, C)
+        ctmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        live = ~(
+            (ctmin > ctmax) | (ctmax < 0) | (ctmin >= t0_b[:, None])
+        )
+        return jnp.any(live, axis=0)  # (C,) in near-to-far slots
+
+    live = jax.lax.map(_tile_live, (ro_tiles, inv_tiles, t0_tiles))
+    slots = jnp.arange(n_chunks, dtype=jnp.int32)
+    key = jnp.where(live, slots[None, :], n_chunks + slots[None, :])
+    perm_t = jnp.argsort(key, axis=1)              # live-first, stable
+    torder = order[perm_t]                         # (tiles, C) chunk ids
+    counts = jnp.sum(live, axis=1).astype(jnp.int32)
+    last_live = jnp.take_along_axis(
+        torder, jnp.maximum(counts - 1, 0)[:, None], axis=1
+    )
+    torder = jnp.where(
+        slots[None, :] < counts[:, None], torder, last_live
+    ).astype(jnp.int32)
+    counts2 = counts[:, None]
 
     kernel = functools.partial(
         _kernel,
@@ -381,27 +444,27 @@ def bruteforce_mesh_pallas(
         precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((13, ray_tile), lambda i, j, order, cbox: (0, i),
+            pl.BlockSpec((13, ray_tile), lambda i, j, to, ct, cb: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 4 * tri_chunk, 13),
-                         lambda i, j, order, cbox: (order[j], 0, 0),
+                         lambda i, j, to, ct, cb: (to[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, tri_chunk, 3),
-                         lambda i, j, order, cbox: (order[j], 0, 0),
+                         lambda i, j, to, ct, cb: (to[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, tri_chunk, 3),
-                         lambda i, j, order, cbox: (order[j], 0, 0),
+                         lambda i, j, to, ct, cb: (to[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ray_tile), lambda i, j, order, cbox: (0, i),
+            pl.BlockSpec((8, ray_tile), lambda i, j, to, ct, cb: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ray_tile), lambda i, j, order, cbox: (0, i),
+            pl.BlockSpec((1, ray_tile), lambda i, j, to, ct, cb: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_tile), lambda i, j, order, cbox: (0, i),
+            pl.BlockSpec((1, ray_tile), lambda i, j, to, ct, cb: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -413,7 +476,7 @@ def bruteforce_mesh_pallas(
             jax.ShapeDtypeStruct((1, rp), jnp.int32),
         ],
         interpret=interpret,
-    )(order, tb.cbox, feats, tb.coef, tb.lo, tb.hi, aux)
+    )(torder, counts2, tb.cbox, feats, tb.coef, tb.lo, tb.hi, aux)
 
     t_best = t_out[0, :R]
     tri_best = tri_out[0, :R]
