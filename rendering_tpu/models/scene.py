@@ -283,11 +283,18 @@ def build_scene(sd: SceneDef) -> SceneData:
                 build_intersect_tables,
             )
 
+            # Per-mesh chunk size: fine chunks (tight AABBs -> fewer
+            # live pairs) for small meshes, scaled up for big ones so
+            # the per-tile visit-order tables stay within the 1MB SMEM
+            # budget — all oracle instances of a fused program (closest
+            # + one per light) hold their tables concurrently, so
+            # target C <= ~1024 at 64 ray tiles.
+            tc_eff = min(512, max(64, 64 * (-(-(-(-t_count // 1024)) // 64))))
             meshes[-1] = dataclasses.replace(
                 meshes[-1],
                 itables=build_intersect_tables(
                     meshes[-1],
-                    tri_chunk=st.tri_chunk,
+                    tri_chunk=tc_eff,
                     use_root_filter=st.use_ac and clipped,
                 ),
             )

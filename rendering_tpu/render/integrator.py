@@ -121,18 +121,19 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit, mode: str = "closest"):
             tables = getattr(mesh, "itables", None)
             if (
                 tables is not None
-                and tables.tri_chunk == settings.tri_chunk
                 and tables.use_root_filter == root_filter
             ):
+                # Baked tables own the chunking decision (per-mesh size).
                 kw["tables"] = tables
+                kw["tri_chunk"] = tables.tri_chunk
         elif settings.use_mxu_intersect:
             fn = bruteforce_mesh_mxu
         else:
             fn = bruteforce_mesh
+        kw.setdefault("tri_chunk", settings.tri_chunk)
         _t, tri, bt, tt = fn(
             mesh, ro, rd, t_limit,
             backface_culling=settings.use_backface_culling,
-            tri_chunk=settings.tri_chunk,
             use_root_filter=root_filter,
             **kw,
         )
