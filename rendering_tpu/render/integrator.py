@@ -427,17 +427,51 @@ def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
     spec_c = jnp.zeros((q, 3), jnp.float32)
     shadow_orig = hit_point + normal * scene.bias
 
-    for light in scene.lights:
+    # Point/distant shadow rays share their origins and the mesh chunk
+    # tables, so ALL of them go through ONE batched any-hit occlusion
+    # query (rays concatenated along the batch axis) — one kernel
+    # launch and one tile pre-cull instead of one per light.
+    point_lights = [
+        li for li in scene.lights if li.kind in ("distant", "point")
+    ]
+    batched = []  # (ldir, inten, dist) per light
+    for light in point_lights:
         if light.kind == "distant":
             ldir = jnp.broadcast_to(light.dir, (q, 3))
             inten = jnp.broadcast_to(light.color * light.intensity, (q, 3))
             dist = jnp.full((q,), FLT_MAX, jnp.float32)
-        elif light.kind == "point":
+        else:
             delta = hit_point - light.pos
             d2 = dot(delta, delta)
-            inten = light.color[None, :] * _point_falloff(light.intensity, d2)[:, None]
+            inten = (
+                light.color[None, :]
+                * _point_falloff(light.intensity, d2)[:, None]
+            )
             ldir = normalize(delta)
             dist = jnp.sqrt(d2)
+        batched.append((ldir, inten, dist))
+
+    if batched:
+        n_l = len(batched)
+        occ_all, s_stats = trace_occlusion(
+            scene,
+            jnp.tile(shadow_orig, (n_l, 1)),
+            jnp.concatenate([-ld for ld, _, _ in batched]),
+            jnp.concatenate([ds for _, _, ds in batched]),
+        )
+        for k in stats:
+            stats[k] = stats[k] + s_stats[k]
+        for li, (ldir, inten, dist) in enumerate(batched):
+            vis = (~occ_all[li * q : (li + 1) * q]).astype(jnp.float32)
+            ndl = jnp.maximum(0.0, dot(normal, -ldir))
+            diffuse_c = diffuse_c + inten * (vis * ndl)[:, None]
+            refl = reflect(ldir, normal)
+            rdv = jnp.maximum(0.0, dot(refl, -rd))
+            spec_c = spec_c + (vis * spec_pow(rdv, nspec))[:, None] * inten
+
+    for light in scene.lights:
+        if light.kind in ("distant", "point"):
+            continue  # handled by the batched query above
         else:  # area — sample grid, scene.cpp:790-806 / 826-846
             pts = _area_points(light)  # (S, 3)
             s_count = pts.shape[0]
@@ -467,17 +501,6 @@ def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
             )
             diffuse_c = diffuse_c + dsum[:, None] * inten
             spec_c = spec_c + spec_pow(ssum, nspec)[:, None] * inten
-            continue
-
-        occ, s_stats = trace_occlusion(scene, shadow_orig, -ldir, dist)
-        for k in stats:
-            stats[k] = stats[k] + s_stats[k]
-        vis = (~occ).astype(jnp.float32)
-        ndl = jnp.maximum(0.0, dot(normal, -ldir))
-        diffuse_c = diffuse_c + inten * (vis * ndl)[:, None]
-        refl = reflect(ldir, normal)
-        rdv = jnp.maximum(0.0, dot(refl, -rd))
-        spec_c = spec_c + (vis * spec_pow(rdv, nspec))[:, None] * inten
     return diffuse_c, spec_c
 
 
