@@ -39,6 +39,7 @@ SCENES = [
     "t09_showac",
     "t10_shotgun",
     "t11_sphere_smooth",
+    "t12_bunny_multi",
 ]
 
 # (frac of interior pixels with u8 diff > 1, frac with diff > 8,
