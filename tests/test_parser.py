@@ -134,3 +134,24 @@ normal=0,2,0
     )
     scene = build_scene(sd)
     np.testing.assert_allclose(np.asarray(scene.pln_n[0]), [0, 2, 0])
+
+
+def test_legacy_scene_format_rejected_like_reference():
+    """input/smooth_shading.scene uses the reference's LEGACY comma-
+    positional line format; the CURRENT reference parser LOG_ERROR-exits
+    on it (src/scene.cpp:200-202 hits a '=' -less line). Parity: we must
+    raise SceneError, not silently misparse."""
+    import os
+
+    import pytest
+
+    from rendering_tpu.models.parser import SceneError, parse_scene
+
+    path = os.path.join(
+        os.environ.get("REFERENCE_DIR", "/root/reference"),
+        "input", "smooth_shading.scene",
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference assets not mounted")
+    with pytest.raises(SceneError):
+        parse_scene(path)
