@@ -41,6 +41,7 @@ def main(argv=None) -> int:
         rs = RenderStats()
         rs.add_device_counts({k: int(v) for k, v in aux["stats"].items()})
         rs.mesh_count = sum(m.n_tris for m in scene.static.meshes)
+        rs.tri_copies_count = sum(m.tri_copies for m in scene.static.meshes)
         rs.ac_count = sum(m.n_real_nodes for m in scene.static.meshes)
         rs.print_stats()
 

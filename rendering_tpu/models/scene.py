@@ -44,6 +44,7 @@ class MeshStatic:
     n_nodes: int
     leaf_chunk: int
     n_real_nodes: int
+    tri_copies: int = 0  # stats::triCopiesCount analogue (BVH duplication)
     dmap_wh: tuple[int, int] = (0, 0)
     nmap_wh: tuple[int, int] = (0, 0)
     smap_wh: tuple[int, int] = (0, 0)
@@ -304,6 +305,7 @@ def build_scene(sd: SceneDef) -> SceneData:
                     n_nodes=bvh.n_nodes,
                     leaf_chunk=st.leaf_chunk,
                     n_real_nodes=bvh.n_real_nodes,
+                    tri_copies=bvh.tri_copies,
                     dmap_wh=o.diffuse_map_wh if o.diffuse_map is not None else (0, 0),
                     nmap_wh=o.normal_map_wh if o.normal_map is not None else (0, 0),
                     smap_wh=o.specular_map_wh if o.specular_map is not None else (0, 0),
