@@ -61,7 +61,10 @@ from rendering_tpu.ops.texture import sample_map
 from rendering_tpu.ops.traversal import traverse_bvh
 
 # Rays per block of the bounce body (bounds every per-ray temporary).
-DEFAULT_RAY_BLOCK = 1 << 16
+# 128k rays = 128 ray tiles per oracle call: measured ~15% faster than
+# 64k on the flagship (better pre-cull/fixed-cost amortization) while
+# keeping per-block temporaries comfortably in HBM.
+DEFAULT_RAY_BLOCK = 1 << 17
 
 
 class Hit(NamedTuple):
