@@ -334,7 +334,7 @@ def bruteforce_mesh_pallas(
     backface_culling: bool = True,
     tri_chunk: int = 256,
     use_root_filter: bool = True,
-    ray_tile: int = DEFAULT_RAY_TILE,
+    ray_tile: int | None = None,
     interpret: bool = False,
     precision=jax.lax.Precision.HIGHEST,
     tables: "IntersectTables | None" = None,
@@ -369,6 +369,11 @@ def bruteforce_mesh_pallas(
     n_chunks = -(-T // tri_chunk)
     perm = tb.perm
 
+    if ray_tile is None:
+        # The per-tile visit-order table costs n_tiles * C * 4 bytes of
+        # the 1MB SMEM budget (shared by all kernel instances of the
+        # program); many-chunk meshes therefore take wider ray tiles.
+        ray_tile = 2048 if n_chunks > 256 else DEFAULT_RAY_TILE
     n_tiles = -(-R // ray_tile)
     r_pad = n_tiles * ray_tile - R
     rp = n_tiles * ray_tile

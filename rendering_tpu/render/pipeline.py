@@ -171,6 +171,14 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
+    # Scene-aware block size: many-chunk meshes keep 64k-ray blocks so
+    # the oracle's per-tile SMEM order tables (n_tiles x chunks ints,
+    # doubled by the batched shadow query) stay within the 1MB budget;
+    # small scenes take 128k blocks (fewer bounce-map iterations).
+    if ray_block == DEFAULT_RAY_BLOCK and any(
+        ms.n_tris > 65536 for ms in st.meshes
+    ):
+        ray_block = DEFAULT_RAY_BLOCK // 2
     if settings.show_ac:
         frame3 = _show_ac_pass(scene, ray_block=ray_block)
         return frame3, {"stats": _zero_stats(),
