@@ -34,7 +34,14 @@ def main(argv=None) -> int:
     t_load.stop()
 
     t_render = Timer("Render scene", settings.enable_output)
-    frame, aux = render(scene)
+    if settings.output_progress and not settings.show_ac:
+        # outputProgress (src/scene.cpp:486-492): strip-rendered frame
+        # with once-per-second percentage prints; bit-identical output.
+        from rendering_tpu.render.pipeline import render_with_progress
+
+        frame, aux = render_with_progress(scene)
+    else:
+        frame, aux = render(scene)
     t_render.stop()
 
     if settings.collect_statistics:

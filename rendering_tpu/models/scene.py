@@ -279,23 +279,28 @@ def build_scene(sd: SceneDef) -> SceneData:
             )
             # Bake the fused-kernel chunk tables (the reference builds
             # its BVH here too, src/objects.cpp:389). Kept out of the
-            # traced render: tracing this at 250k tris costs minutes.
+            # traced render AND built from the HOST-side numpy arrays:
+            # reading a device array back through the remote TPU tunnel
+            # measured ~35 s per 9 MB array, so the table math must
+            # never touch the jnp copies above.
+            import types
+
             from rendering_tpu.ops.pallas_intersect import (
                 build_intersect_tables,
+                default_tri_chunk,
             )
 
-            # Per-mesh chunk size: fine chunks (tight AABBs -> fewer
-            # live pairs) for small meshes, scaled up for big ones so
-            # the per-tile visit-order tables stay within the 1MB SMEM
-            # budget — all oracle instances of a fused program (closest
-            # + one per light) hold their tables concurrently, so
-            # target C <= ~1024 at 64 ray tiles.
-            tc_eff = min(512, max(64, 64 * (-(-(-(-t_count // 1024)) // 64))))
+            host_mesh = types.SimpleNamespace(
+                v=m.v,
+                reach_lo=bvh.reach_lo,
+                reach_hi=bvh.reach_hi,
+                morton_perm=np.asarray(morton_order(m.v)),
+            )
             meshes[-1] = dataclasses.replace(
                 meshes[-1],
                 itables=build_intersect_tables(
-                    meshes[-1],
-                    tri_chunk=tc_eff,
+                    host_mesh,
+                    tri_chunk=default_tri_chunk(t_count),
                     use_root_filter=st.use_ac and clipped,
                 ),
             )

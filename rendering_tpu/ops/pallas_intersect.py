@@ -1,20 +1,45 @@
 """Fused Pallas TPU kernel for ray-mesh intersection (any mesh size).
 
-Same math as ops/bruteforce_mxu.py (the MXU bilinear-form
-Moller-Trumbore: reference semantics of src/objects.cpp:59-95 with the
-root-box reach filter replicating src/objects.cpp:534-570 + :737-760),
-restructured TPU-first:
+Round-2 redesign (VPU-direct + live-chunk grid). The round-1 kernel
+(git history) evaluated Moller-Trumbore as an MXU bilinear form
+((4*Tc, 13) x (13, BR) matmul); profiling on the v5e showed that
+K=13 is padded to the MXU's native 128 contraction depth and HIGHEST
+precision costs 6 bf16 passes, so the matmul ran at ~32 ps per
+(ray, triangle) pair while a direct VPU evaluation of the exact same
+f32 arithmetic as ops.intersect.ray_triangle (the reference formula,
+src/objects.cpp:59-95) costs ~20 ps/pair — and, more importantly, the
+(ray_tiles x all_chunks) grid spent ~1.4 us of Mosaic sequencing per
+DEAD grid step, which dominated large meshes (a 250k-triangle mesh is
+~977 chunks but a coherent ray tile reaches only ~11 of them).
 
-  triangles -> Morton-ordered chunks of `tri_chunk` (precomputed
-               coefficient/AABB tables: build_intersect_tables — the
-               baked acceleration structure, rebuilt on geometry
-               updates like the reference rebuilds its BVH)
-  grid = (ray_tiles, chunks)     # Mosaic double-buffers chunk tables
-  per step: slab-test the chunk AABB against the tile's rays (and the
-            per-ray running t / done state); if no ray can accept a
-            hit, skip the compute; else (4*Tc, 13) x (13, BR-rays) on
-            the MXU + accept/min epilogue on the VPU, updating the
-            running (t, tri) held in the tile's revisited output block.
+Structure (TPU-first):
+
+  triangles -> Morton-ordered chunks of `tri_chunk` with per-chunk
+               vertex/edge/reach-box tables (build_intersect_tables —
+               the baked acceleration structure, rebuilt on geometry
+               updates like the reference rebuilds its BVH,
+               src/objects.cpp:461-530).
+  pre-pass  -> per-TILE exact any-ray slab test of every chunk AABB
+               (_tile_live_exact), giving live chunk lists sorted
+               near-to-far from the tile's origin centroid. This is
+               the packet-descent step of a packet-BVH, done as one
+               dense XLA pass over (n_tiles, BR, C).
+  grid      -> ONE dimension over the compacted (tile, chunk) live
+               pairs (plus one init step per empty tile), padded to a
+               static bucket size chosen by the actual pair count
+               (lax.cond). Dead steps repeat the previous pair so
+               their block indices never change (no DMA) — every grid
+               step costs ~1us of Mosaic sequencing even when idle, so
+               the grid is sized by the work that EXISTS, not by
+               tiles x chunks or tiles x worst-case-K. Overflow past
+               the largest bucket falls back to all-pairs capacity
+               (coarse-tiled when the fine tables would strain SMEM).
+  per step  -> re-cull the chunk AABB against the per-ray running t
+               (progressive pruning as hits are found); if any ray in
+               the tile still qualifies, evaluate Moller-Trumbore for
+               the (Tc, BR) pair block on the VPU with bit-exact
+               ray_triangle f32 arithmetic, then the accept/min
+               epilogue updates the running (t, tri) output block.
 
 Two modes:
   * closest-hit (primary/bounce rays): running minimum + triangle id.
@@ -24,27 +49,30 @@ Two modes:
     resolve on their first live (local) chunk and prune the rest of
     the mesh. Matches trace_occlusion's boolean semantics exactly.
 
-A fully manual-DMA variant (chunk tables fetched only when live) cut
-table traffic further but hits an opaque TPU runtime abort on this
-platform for many-live-chunk workloads (see git history); the
-grid-pipelined form streams every chunk table but double-buffers the
-traffic behind compute and is robust at every size tested (1.5k-250k
-triangles).
+Stats are honest and device-side (reference counters,
+include/stats.h:18-36): when collect_stats=True the kernel
+accumulates the number of slab-tested rays (box_tests) and of
+(live ray x triangle) Moller-Trumbore evaluations (tri_tests) in
+SMEM. The scalar read-modify-writes serialize the per-step pipeline
+(~2x step cost), so like the reference's collectStatistics gate the
+counters compile in only on request; otherwise they return 0.
 
 Layout is rays-on-lanes / triangles-on-sublanes: per-ray scalars are
-rows of an (8, R) aux array (sublane broadcast is free), per-chunk
-tables are Mosaic-blocked, the closest-hit reduction is a
-sublane-dimension min, and outputs are compact (1, R) vectors.
+rows of a (16, R) aux array (sublane broadcast is free), per-chunk
+tables are (16, Tc) row blocks (v0/e1/e2/reach_lo/reach_hi), compute
+is (Tc, BR), the closest-hit reduction is a sublane-dimension min, and
+outputs are compact (1, R) vectors.
 
 This is a discrete hit ORACLE (t / triangle id / occlusion bit): the
 integrator runs it under stop_gradient and re-evaluates accepted hits
 differentiably, so no custom VJP is needed.
 
 Tie-breaking: strict `t < t_best` across chunks and lowest in-chunk
-row on equal t — i.e. Morton order, which differs from the jnp
-oracle's load order ONLY when two distinct triangles hit at the exact
-same f32 t (degenerate overlaps; same caveat as the reference's
-leaf-DFS order).
+row on equal t — i.e. Morton/near-to-far order, which differs from
+the jnp oracle's load order ONLY when two distinct triangles hit at
+the exact same f32 t (degenerate overlaps; same caveat as the
+reference's leaf-DFS order). Per-pair (t, accept) values are
+bit-identical to ray_triangle: same mul/sub/div f32 sequence.
 """
 
 from __future__ import annotations
@@ -58,148 +86,187 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rendering_tpu.ops.geometry import FLT_MAX
 
-DEFAULT_RAY_TILE = 1024
+DEFAULT_RAY_TILE = 512
 _FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 
-
-def _ray_features_t(roT: jnp.ndarray, rdT: jnp.ndarray) -> jnp.ndarray:
-    """(3, R) x2 -> (13, R) feature rows (transposed ray_features)."""
-    one = jnp.ones_like(roT[0:1])
-    return jnp.concatenate(
-        [
-            one, roT[0:1], roT[1:2], roT[2:3], rdT[0:1], rdT[1:2], rdT[2:3],
-            rdT[1:2] * roT[0:1], rdT[2:3] * roT[0:1], rdT[2:3] * roT[1:2],
-            rdT[0:1] * roT[1:2], rdT[0:1] * roT[2:3], rdT[1:2] * roT[2:3],
-        ],
-        axis=0,
-    )
+# Step-count buckets for the 1-D pair-compacted grid, as multiples of
+# n_tiles (total live pairs + one init step per tile). The actual pair
+# count picks the smallest fitting bucket via nested lax.cond;
+# anything beyond the last bucket takes the dense all-pairs fallback
+# at a wider ray tile (SMEM: its (n_tiles*C) tables must stay well
+# under the 1MB budget). Every grid step costs ~1us of Mosaic
+# sequencing even when dead, so the grid is sized by the work that
+# EXISTS, not by tiles x worst-case-K.
+_S_BUCKETS = (4, 16)
+_FALLBACK_RAY_TILE = 4096
+# Widest lane slice a single (Tc, lanes) compute may use — bounds the
+# VPU temporaries (Mosaic's scoped-VMEM stack is 16MB).
+_MAX_COMPUTE_LANES = 1024
 
 
 def _kernel(
-    # scalar prefetch (SMEM)
-    torder_ref,  # (n_tiles, C) i32 — PER-TILE chunk visit order: the
-                 # tile's geometrically-live chunks first (near-to-far
-                 # from the ray origins' centroid), then the last live
-                 # id repeated. Dead steps therefore keep the same
-                 # block index, so Mosaic skips their table DMA, and
-                 # the count guard below skips their compute — a dead
-                 # (tile, chunk) step costs only grid bookkeeping
-                 # (the naive grid spent ~1us/step on these, which
-                 # dominated large meshes: 81% of a 250k-tri call).
-    counts_ref,  # (n_tiles, 1) i32 — live chunks per tile
-    cbox_ref,    # (C, 8) — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
-    # VMEM blocks (coef/lo/hi are indexed through torder_ref)
-    feats_ref,   # (13, BR) VMEM
-    coef_ref,    # (4*Tc, 13) VMEM — rows [det | tdet | udet | vdet]
-    lo_ref,      # (Tc, 3) VMEM — per-tri reach box (root-clipped)
-    hi_ref,      # (Tc, 3) VMEM
-    aux_ref,     # (8, BR) VMEM — rows [ro xyz, 1/rd xyz, t0, unused]
+    # scalar prefetch (SMEM). All tables are FLAT 1-D: SMEM pads the
+    # last dim of every prefetch operand to 128 elements, so 2-D
+    # (rows, small) layouts waste 128/small x the budget.
+    ptile_ref,   # (S,) i32 — ray-tile index of step s. Steps are
+                 # grouped by tile; within a tile the chunk visit order
+                 # is live-first near-to-far (from the tile's ray
+                 # origin centroid). The dead tail repeats the last
+                 # pair (same block indices -> Mosaic skips the DMA;
+                 # the live flag skips the compute).
+    pchunk_ref,  # (S,) i32 — chunk id of step s
+    plive_ref,   # (S,) i32 — 1 if step s computes (0: init-only/tail)
+    cbox_ref,    # (C*8,) — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
+    # VMEM blocks
+    tri_ref,     # (16, Tc) VMEM — rows [v0 xyz, e1 xyz, e2 xyz,
+                 #                       reach_lo xyz, reach_hi xyz, 0]
+    aux_ref,     # (16, BR) VMEM — rays of tile ptile[s]:
+                 #                 rows [ro xyz, rd xyz, 1/rd xyz, t0]
     t_ref,       # (1, BR) VMEM out — running best t (-1 = done, any-hit)
-    tri_ref,     # (1, BR) VMEM out — running best triangle id
+    tri_out_ref,  # (1, BR) VMEM out — running best triangle id
+    stats_ref,   # (1, 2) i32 SMEM out — [tri_tests, box_tests]
     *,
     tc: int,
     backface_culling: bool,
     use_root_filter: bool,
     anyhit: bool,
-    precision,
+    collect_stats: bool,
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    chunk = torder_ref[i, j]
+    s = pl.program_id(0)
+    chunk = pchunk_ref[s]
     base = chunk * tc
 
-    @pl.when(j == 0)
-    def _init():
-        t_ref[...] = aux_ref[6:7, :]
-        tri_ref[...] = jnp.full(tri_ref.shape, -1, jnp.int32)
+    @pl.when(s == 0)
+    def _init_stats():
+        stats_ref[0, 0] = 0
+        stats_ref[0, 1] = 0
 
-    @pl.when(j < counts_ref[i, 0])
+    prev_tile = ptile_ref[jnp.maximum(s - 1, 0)]
+    first = (s == 0) | (ptile_ref[s] != prev_tile)
+
+    @pl.when(first)
+    def _init():
+        t_ref[...] = aux_ref[9:10, :]
+        tri_out_ref[...] = jnp.full(tri_out_ref.shape, -1, jnp.int32)
+
+    @pl.when(plive_ref[s] == 1)
     def _step():
-        _cull_and_intersect(
-            feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, cbox_ref,
-            t_ref, tri_ref, chunk, base, tc=tc,
-            backface_culling=backface_culling,
-            use_root_filter=use_root_filter, anyhit=anyhit,
-            precision=precision,
-        )
+        # Slice the lane (ray) axis so the (Tc, BR_sub) Moller-Trumbore
+        # temporaries stay within Mosaic's 16MB scoped-VMEM stack even
+        # at the fallback's wide ray tiles.
+        br = aux_ref.shape[1]
+        sub = min(br, _MAX_COMPUTE_LANES)
+        for k in range(br // sub):
+            _cull_and_intersect(
+                tri_ref, aux_ref.at[:, k * sub : (k + 1) * sub],
+                cbox_ref, t_ref.at[:, k * sub : (k + 1) * sub],
+                tri_out_ref.at[:, k * sub : (k + 1) * sub], stats_ref,
+                chunk, base, tc=tc, backface_culling=backface_culling,
+                use_root_filter=use_root_filter, anyhit=anyhit,
+                collect_stats=collect_stats,
+            )
 
 
 def _cull_and_intersect(
-    feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, cbox_ref, t_ref,
-    tri_ref, chunk, base, *, tc, backface_culling, use_root_filter,
-    anyhit, precision,
+    tri_ref, aux_ref, cbox_ref, t_ref, tri_out_ref, stats_ref, chunk,
+    base, *, tc, backface_culling, use_root_filter, anyhit,
+    collect_stats,
 ):
     # Chunk-level cull: a triangle in this chunk can only be accepted if
     # the ray crosses the chunk's AABB at some t in [0, t_best) and the
     # ray is not already resolved (any-hit done marker t_best < 0).
-    # Skipping the whole grid step when no ray in the tile qualifies is
-    # the SPMD analogue of a 2-level BVH — the per-ray accept tests
-    # below are unchanged, so results are identical. Comparisons are
-    # negated so a NaN slab value (rd_c == 0 with origin on the box
-    # plane) keeps the chunk live (conservative), never skips it.
+    # Skipping the compute when no ray in the tile qualifies is pure
+    # work pruning — the per-ray accept tests below are unchanged, so
+    # results are identical. Comparisons are negated so a NaN slab
+    # value (rd_c == 0 with origin on the box plane) keeps the chunk
+    # live (conservative), never skips it.
     t_run = t_ref[...]
     ctmin = jnp.full(t_run.shape, -_FMAX, jnp.float32)
     ctmax = jnp.full(t_run.shape, _FMAX, jnp.float32)
     for c in range(3):
         ro_c = aux_ref[c : c + 1, :]
-        inv_c = aux_ref[3 + c : 4 + c, :]
-        t1 = (cbox_ref[chunk, c] - ro_c) * inv_c
-        t2 = (cbox_ref[chunk, 3 + c] - ro_c) * inv_c
+        inv_c = aux_ref[6 + c : 7 + c, :]
+        t1 = (cbox_ref[chunk * 8 + c] - ro_c) * inv_c
+        t2 = (cbox_ref[chunk * 8 + 3 + c] - ro_c) * inv_c
         ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
         ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
     live = ~((ctmin > ctmax) | (ctmax < 0) | (ctmin >= t_run) | (t_run < 0))
+    # The counter read-modify-writes serialize the scalar pipeline
+    # (~3 us/step measured), so they compile in only when the caller
+    # collects statistics — exactly the reference's collectStatistics
+    # gate (include/stats.h: counters are no-ops unless enabled).
+    if collect_stats:
+        stats_ref[0, 1] = stats_ref[0, 1] + t_run.shape[1]
 
     @pl.when(jnp.any(live))
     def _compute():
+        if collect_stats:
+            stats_ref[0, 0] = stats_ref[0, 0] + tc * jnp.sum(
+                live.astype(jnp.int32)
+            )
         _intersect_chunk(
-            feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref,
-            base, tc=tc, backface_culling=backface_culling,
+            tri_ref, aux_ref, t_ref, tri_out_ref, base, tc=tc,
+            backface_culling=backface_culling,
             use_root_filter=use_root_filter, anyhit=anyhit,
-            precision=precision,
         )
 
 
 def _intersect_chunk(
-    feats_ref, coef_ref, lo_ref, hi_ref, aux_ref, t_ref, tri_ref, base,
-    *, tc, backface_culling, use_root_filter, anyhit, precision,
+    tri_ref, aux_ref, t_ref, tri_out_ref, base, *, tc, backface_culling,
+    use_root_filter, anyhit,
 ):
-    out = jax.lax.dot_general(
-        coef_ref[...], feats_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (4*Tc, BR)
-    det = out[0 * tc : 1 * tc, :]
-    tdet = out[1 * tc : 2 * tc, :]
-    udet = out[2 * tc : 3 * tc, :]
-    vdet = out[3 * tc : 4 * tc, :]
+    # Direct Moller-Trumbore on the VPU, (Tc, BR) pair block.
+    # Bit-identical f32 sequence to ops.intersect.ray_triangle
+    # (reference formula, src/objects.cpp:59-95): pvec = rd x e2,
+    # det = e1.pvec, u = tvec.pvec/det, qvec = tvec x e1,
+    # v = rd.qvec/det, t = e2.qvec/det. Per-tri values broadcast along
+    # lanes as (Tc, 1) columns; per-ray values along sublanes as
+    # (1, BR) rows. Zero-padded triangles fail the det epsilon in both
+    # culling modes, so no lane-validity mask is needed.
+    def tri_col(r):  # table row -> (Tc, 1)
+        return tri_ref[r : r + 1, :].T
 
-    # Same accept chain (and f32 evaluation order) as bruteforce_mxu:
-    # zero-coefficient padded triangles fail the epsilon test in both
-    # culling modes, so no explicit lane-validity mask is needed.
+    def ray_row(r):  # aux row -> (1, BR)
+        return aux_ref[r : r + 1, :]
+
+    v0 = [tri_col(c) for c in range(3)]
+    e1 = [tri_col(3 + c) for c in range(3)]
+    e2 = [tri_col(6 + c) for c in range(3)]
+    ro = [ray_row(c) for c in range(3)]
+    rd = [ray_row(3 + c) for c in range(3)]
+
+    p0 = rd[1] * e2[2] - rd[2] * e2[1]
+    p1 = rd[2] * e2[0] - rd[0] * e2[2]
+    p2 = rd[0] * e2[1] - rd[1] * e2[0]
+    det = e1[0] * p0 + e1[1] * p1 + e1[2] * p2
     if backface_culling:
         ok = det >= 1e-8
     else:
         ok = jnp.abs(det) >= 1e-8
     inv = 1.0 / jnp.where(ok, det, 1.0)
-    u = udet * inv
-    v = vdet * inv
-    t = tdet * inv
+    tv0 = ro[0] - v0[0]
+    tv1 = ro[1] - v0[1]
+    tv2 = ro[2] - v0[2]
+    u = (tv0 * p0 + tv1 * p1 + tv2 * p2) * inv
+    q0 = tv1 * e1[2] - tv2 * e1[1]
+    q1 = tv2 * e1[0] - tv0 * e1[2]
+    q2 = tv0 * e1[1] - tv1 * e1[0]
+    v = (rd[0] * q0 + rd[1] * q1 + rd[2] * q2) * inv
+    t = (e2[0] * q0 + e2[1] * q1 + e2[2] * q2) * inv
     ok = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
 
     if use_root_filter:
         # Reference slab semantics ((lo-ro)*inv, no t>=0 clamp;
         # src/objects.cpp:534-570) against the root-clipped per-tri box.
-        shape = (tc, feats_ref.shape[1])
+        shape = (tc, aux_ref.shape[1])
         tmin = jnp.full(shape, -_FMAX, jnp.float32)
         tmax = jnp.full(shape, _FMAX, jnp.float32)
         for c in range(3):
-            lo_c = jnp.broadcast_to(lo_ref[:, c : c + 1], shape)
-            hi_c = jnp.broadcast_to(hi_ref[:, c : c + 1], shape)
-            ro_c = jnp.broadcast_to(aux_ref[c : c + 1, :], shape)
-            inv_c = jnp.broadcast_to(aux_ref[3 + c : 4 + c, :], shape)
-            t1 = (lo_c - ro_c) * inv_c
-            t2 = (hi_c - ro_c) * inv_c
+            lo_c = tri_col(9 + c)
+            hi_c = tri_col(12 + c)
+            inv_c = ray_row(6 + c)
+            t1 = (lo_c - ro[c]) * inv_c
+            t2 = (hi_c - ro[c]) * inv_c
             tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         ok = ok & (tmin <= tmax)
@@ -212,7 +279,7 @@ def _intersect_chunk(
         # ray; done rays (t = -1) never re-accept (t < -1 is false).
         hit_any = jnp.any(ok, axis=0, keepdims=True)        # (1, BR)
         t_ref[...] = jnp.where(hit_any, -1.0, t_prev)
-        tri_ref[...] = jnp.where(hit_any, 0, tri_ref[...])
+        tri_out_ref[...] = jnp.where(hit_any, 0, tri_out_ref[...])
         return
 
     tm = jnp.where(ok, t, _FMAX)
@@ -226,32 +293,29 @@ def _intersect_chunk(
         keepdims=True,
     )
     t_ref[...] = jnp.where(better, t_min, t_prev)
-    tri_ref[...] = jnp.where(better, base + row, tri_ref[...])
+    tri_out_ref[...] = jnp.where(better, base + row, tri_out_ref[...])
 
 
 class IntersectTables:
     """Precomputed, Morton-ordered chunk tables for the Pallas kernel —
     the TPU analogue of the reference's built acceleration structure
     (src/objects.cpp:461-530): geometry is baked into kernel-layout
-    coefficient/AABB tables once per scene build. Rebuild after any
+    vertex/edge/reach tables once per scene build. Rebuild after any
     geometry update, exactly as the reference rebuilds its BVH per run;
     within a render the tables are the oracle's geometry snapshot (hit
     topology is stop_gradient'd anyway, and accepted hits are
     re-evaluated from live vertices)."""
 
-    def __init__(self, tri_chunk, use_root_filter, perm, coef, lo, hi,
-                 cbox):
+    def __init__(self, tri_chunk, use_root_filter, perm, tri, cbox):
         self.tri_chunk = tri_chunk
         self.use_root_filter = use_root_filter
         self.perm = perm      # (T,) i32 or None
-        self.coef = coef      # (C, 4*Tc, 13)
-        self.lo = lo          # (C, Tc, 3)
-        self.hi = hi          # (C, Tc, 3)
+        self.tri = tri        # (C, 16, Tc)
         self.cbox = cbox      # (C, 8)
 
     def tree_flatten(self):
         return (
-            (self.perm, self.coef, self.lo, self.hi, self.cbox),
+            (self.perm, self.tri, self.cbox),
             (self.tri_chunk, self.use_root_filter),
         )
 
@@ -267,14 +331,25 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def default_tri_chunk(n_tris: int) -> int:
+    """Chunk-size policy: tight chunks (few triangles -> tight AABBs ->
+    few live pairs) while keeping the chunk count C <= ~2048 so the
+    per-chunk AABB table fits the prefetch SMEM budget (C x 32 B per
+    kernel instance of the fused program)."""
+    tc = 64
+    while -(-n_tris // tc) > 2048:
+        tc *= 2
+    return min(tc, 2048)
+
+
 def build_intersect_tables(
     mesh, *, tri_chunk: int = 256, use_root_filter: bool = True
 ):
     """Build the kernel-format chunk tables for a mesh. Call once per
-    scene build (eagerly, device-side) — keeping this out of the traced
-    render removes minutes of trace time and hundreds of MB of in-graph
-    temporaries for 250k-triangle meshes."""
-    from rendering_tpu.ops.bruteforce_mxu import mt_coefficients
+    scene build. Pure NUMPY on the host: a jnp formulation compiled
+    ~27 XLA programs per mesh, which costs minutes per scene over the
+    remote-compile TPU tunnel; the host math is milliseconds."""
+    import numpy as np
 
     T = int(mesh.v.shape[0])
     if T == 0:
@@ -283,46 +358,171 @@ def build_intersect_tables(
     t_pad = n_chunks * tri_chunk - T
 
     perm = getattr(mesh, "morton_perm", None)
-    v = mesh.v if perm is None else mesh.v[perm]
-    reach_lo = mesh.reach_lo if perm is None else mesh.reach_lo[perm]
-    reach_hi = mesh.reach_hi if perm is None else mesh.reach_hi[perm]
-    coef = mt_coefficients(v)  # (13, T, 4)
-    coef = jnp.pad(coef, ((0, 0), (0, t_pad), (0, 0)))
-    # (C, 4*Tc, 13): rows grouped per quantity within a chunk.
-    coef = (
-        coef.reshape(13, n_chunks, tri_chunk, 4)
-        .transpose(1, 3, 2, 0)
-        .reshape(n_chunks, 4 * tri_chunk, 13)
-    )
-    lo = jnp.pad(reach_lo, ((0, t_pad), (0, 0))).reshape(
-        n_chunks, tri_chunk, 3
-    )
-    hi = jnp.pad(reach_hi, ((0, t_pad), (0, 0))).reshape(
-        n_chunks, tri_chunk, 3
+    v = np.asarray(mesh.v)
+    reach_lo = np.asarray(mesh.reach_lo)
+    reach_hi = np.asarray(mesh.reach_hi)
+    if perm is not None:
+        p = np.asarray(perm)
+        v, reach_lo, reach_hi = v[p], reach_lo[p], reach_hi[p]
+
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    # (T, 16) rows -> (C, 16, Tc). Zero padding: degenerate triangles
+    # (det = 0) fail the epsilon test in both culling modes.
+    rows = np.concatenate(
+        [v0, e1, e2, reach_lo, reach_hi, np.zeros((T, 1), np.float32)],
+        axis=1,
+    ).astype(np.float32)  # (T, 16)
+    rows = np.pad(rows, ((0, t_pad), (0, 0)))
+    tri = np.ascontiguousarray(
+        rows.reshape(n_chunks, tri_chunk, 16).transpose(0, 2, 1)
     )
 
-    # Chunk AABBs for the in-kernel cull. With the root filter on, a hit
-    # additionally requires crossing the (clipped) reach box, so the
-    # union of reach boxes bounds all acceptable hits; without it, raw
-    # vertex bounds. Padding is min/max-neutral; inverted (empty)
-    # clipped boxes never extend a union.
-    if use_root_filter:
-        ub_lo, ub_hi = reach_lo, reach_hi
-    else:
-        ub_lo = jnp.min(v, axis=1)
-        ub_hi = jnp.max(v, axis=1)
-    ub_lo = jnp.pad(ub_lo, ((0, t_pad), (0, 0)), constant_values=_FMAX)
-    ub_hi = jnp.pad(ub_hi, ((0, t_pad), (0, 0)), constant_values=-_FMAX)
-    cbox = jnp.concatenate(
+    # Chunk AABBs for the tile pre-cull and the in-kernel cull: union
+    # of RAW vertex bounds. Any accepted Moller-Trumbore hit point lies
+    # on its triangle, hence inside this union, so culling chunks whose
+    # union the ray misses (within [0, t_best)) is sound — and it is
+    # ~7x tighter than the reach-box union (root-clipped leaf reach)
+    # used in round 1, which inflated live chunks/tile from ~11 to ~77
+    # on the 250k flagship. Padding is min/max-neutral.
+    ub_lo = np.pad(v.min(axis=1), ((0, t_pad), (0, 0)),
+                   constant_values=_FMAX)
+    ub_hi = np.pad(v.max(axis=1), ((0, t_pad), (0, 0)),
+                   constant_values=-_FMAX)
+    cbox = np.concatenate(
         [
-            jnp.min(ub_lo.reshape(n_chunks, tri_chunk, 3), axis=1),
-            jnp.max(ub_hi.reshape(n_chunks, tri_chunk, 3), axis=1),
-            jnp.zeros((n_chunks, 2), jnp.float32),
+            ub_lo.reshape(n_chunks, tri_chunk, 3).min(axis=1),
+            ub_hi.reshape(n_chunks, tri_chunk, 3).max(axis=1),
+            np.zeros((n_chunks, 2), np.float32),
         ],
         axis=1,
-    )  # (C, 8)
-    return IntersectTables(tri_chunk, use_root_filter, perm, coef, lo, hi,
-                           cbox)
+    ).astype(np.float32)  # (C, 8)
+    return IntersectTables(
+        tri_chunk, use_root_filter,
+        None if perm is None else jnp.asarray(perm),
+        jnp.asarray(tri), jnp.asarray(cbox),
+    )
+
+
+def _tile_live_exact(ro_t, inv_t, t0_t, cbox):
+    """Per-tile chunk cull: EXACT per-ray slab test, any() over the
+    tile's rays — the packet-descent step of a packet-BVH, done as one
+    dense XLA pass. ro_t/inv_t: (n_tiles, BR, 3); t0_t: (n_tiles, BR);
+    cbox: (C, 8). Returns live (n_tiles, C) bool. Comparisons are
+    negated so a NaN slab value (rd_c == 0 with origin on the box
+    plane) keeps the chunk live (conservative), never skips it. An
+    interval-arithmetic variant (bounding the tile's origin/direction
+    boxes) was tried first and measured ~25x too conservative on the
+    250k flagship (mean 283 live chunks/tile vs 11 exact) — the
+    decoupled per-axis intervals admit ray combinations no real ray
+    achieves; the exact test costs ~1-2 ms per 64k rays and keeps the
+    kernel grid ~25x smaller."""
+    def body(args):
+        ro_b, inv_b, t0_b = args  # (BR, 3), (BR, 3), (BR,)
+        # Per-axis python loop keeps every temporary (BR, C) — chunks
+        # on lanes. A fused (BR, C, 3) formulation puts xyz on the
+        # 128-lane axis (42x pad waste) and measured ~10x slower.
+        shape = (ro_b.shape[0], cbox.shape[0])
+        ctmin = jnp.full(shape, -_FMAX, jnp.float32)
+        ctmax = jnp.full(shape, _FMAX, jnp.float32)
+        for c in range(3):
+            t1 = (cbox[None, :, c] - ro_b[:, c : c + 1]) * inv_b[:, c : c + 1]
+            t2 = (cbox[None, :, 3 + c] - ro_b[:, c : c + 1]) * inv_b[:, c : c + 1]
+            ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
+            ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
+        live = ~(
+            (ctmin > ctmax) | (ctmax < 0) | (ctmin >= t0_b[:, None])
+        )
+        return jnp.any(live, axis=0)  # (C,)
+
+    return jax.lax.map(body, (ro_t, inv_t, t0_t))
+
+
+def _tile_tables(ro_t, inv_t, t0_t, cbox):
+    """Per-tile live-first near-to-far chunk visit order. Returns
+    (torder (n_tiles, C) i32, counts (n_tiles,) i32, total scalar =
+    sum(max(counts, 1)) — the compacted step count including one
+    init step for each empty tile)."""
+    live = _tile_live_exact(ro_t, inv_t, t0_t, cbox)
+    centroid = jnp.mean(ro_t, axis=1)  # (n_tiles, 3)
+    ccenter = (cbox[None, :, 0:3] + cbox[None, :, 3:6]) * 0.5
+    dist2 = jnp.sum((ccenter - centroid[:, None, :]) ** 2, axis=-1)
+    # One sort does both: dead chunks key to +inf (stable -> id order),
+    # live chunks order near-to-far.
+    key = jnp.where(live, dist2, _FMAX)
+    torder = jnp.argsort(key, axis=1).astype(jnp.int32)  # (n_tiles, C)
+    counts = jnp.sum(live, axis=1).astype(jnp.int32)
+    total = jnp.sum(jnp.maximum(counts, 1))
+    return torder, counts, total
+
+
+def _pair_tables(torder, counts, S: int):
+    """Compact the per-tile live chunk lists into 1-D step tables of
+    static size S: step s handles (ptile[s], pchunk[s]), steps grouped
+    by tile, each tile occupying max(count, 1) consecutive steps (the
+    >= 1 guarantees its output block is initialized even with nothing
+    to intersect; such steps carry plive = 0). The tail past the last
+    real pair repeats the final pair with plive = 0, so its block
+    indices never change and Mosaic skips the DMA. Requires
+    sum(max(counts, 1)) <= S (checked by the caller's bucket cond)."""
+    n_tiles, C = torder.shape
+    counts0 = jnp.maximum(counts, 1)
+    ends = jnp.cumsum(counts0).astype(jnp.int32)       # (n_tiles,)
+    starts = ends - counts0
+    total = ends[-1]
+    slot = jnp.arange(S, dtype=jnp.int32)
+    tile = jnp.clip(
+        jnp.searchsorted(ends, slot, side="right").astype(jnp.int32),
+        0, n_tiles - 1,
+    )
+    j = slot - starts[tile]
+    # Clamp j so tail steps repeat the tile's LAST pair (constant block
+    # index -> no refetch) instead of walking the dead order entries.
+    j = jnp.clip(jnp.minimum(j, counts0[tile] - 1), 0, C - 1)
+    chunk = torder[tile, j]
+    live = (slot < total) & (j < counts[tile])
+    return tile, chunk, live.astype(jnp.int32)
+
+
+def _pallas_call(
+    ptile, pchunk, plive, cbox, tri, aux, rp, *, ray_tile, tc,
+    kernel_kw, interpret,
+):
+    S = ptile.shape[0]
+    kernel = functools.partial(_kernel, tc=tc, **kernel_kw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((None, 16, tc),
+                         lambda s, pt, pc, pv, cb: (pc[s], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, ray_tile),
+                         lambda s, pt, pc, pv, cb: (0, pt[s]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_tile),
+                         lambda s, pt, pc, pv, cb: (0, pt[s]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile),
+                         lambda s, pt, pc, pv, cb: (0, pt[s]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda s, pt, pc, pv, cb: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ptile, pchunk, plive, cbox.reshape(-1), tri, aux)
 
 
 def bruteforce_mesh_pallas(
@@ -332,13 +532,13 @@ def bruteforce_mesh_pallas(
     t_limit: jnp.ndarray | None = None,
     *,
     backface_culling: bool = True,
-    tri_chunk: int = 256,
+    tri_chunk: int | None = None,
     use_root_filter: bool = True,
     ray_tile: int | None = None,
     interpret: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
     tables: "IntersectTables | None" = None,
     mode: str = "closest",
+    collect_stats: bool = False,
 ):
     """Closest hit (mode="closest") or occlusion query (mode="any") over
     all mesh triangles, fused on-chip. Interface matches
@@ -346,7 +546,11 @@ def bruteforce_mesh_pallas(
     0 where the ray is occluded within t_limit and -1 otherwise (t is
     FLT_MAX). Pass prebuilt `tables` (build_intersect_tables) to skip
     in-graph table construction; they must match tri_chunk and
-    use_root_filter."""
+    use_root_filter. Returns (t, tri, box_tests, tri_tests) with
+    box/tri test counters accumulated honestly on-device when
+    collect_stats=True (0 otherwise — the counting serializes the
+    kernel's scalar pipeline, so it is opt-in like the reference's
+    collectStatistics flag)."""
     T = int(mesh.v.shape[0])
     R = ro.shape[0]
     anyhit = mode == "any"
@@ -359,24 +563,37 @@ def bruteforce_mesh_pallas(
         )
 
     if tables is None:
+        if tri_chunk is None:
+            tri_chunk = default_tri_chunk(T)
         tables = build_intersect_tables(
             mesh, tri_chunk=tri_chunk, use_root_filter=use_root_filter
         )
     else:
-        assert tables.tri_chunk == tri_chunk
+        if tri_chunk is not None:
+            assert tables.tri_chunk == tri_chunk
+        tri_chunk = tables.tri_chunk
         assert tables.use_root_filter == use_root_filter
     tb = tables
     n_chunks = -(-T // tri_chunk)
     perm = tb.perm
 
     if ray_tile is None:
-        # The per-tile visit-order table costs n_tiles * C * 4 bytes of
-        # the 1MB SMEM budget (shared by all kernel instances of the
-        # program); many-chunk meshes therefore take wider ray tiles.
-        ray_tile = 2048 if n_chunks > 256 else DEFAULT_RAY_TILE
+        ray_tile = DEFAULT_RAY_TILE
     n_tiles = -(-R // ray_tile)
-    r_pad = n_tiles * ray_tile - R
     rp = n_tiles * ray_tile
+    # The dense fallback needs static capacity for EVERY (tile, chunk)
+    # pair; if that table would strain SMEM at the fine tiling, the
+    # fallback re-tiles coarsely (<= 16 wide tiles, lane-sliced in the
+    # kernel), and the ray padding must accommodate both tilings.
+    fine_fb_ok = n_tiles * n_chunks * 12 <= 200_000
+    if not fine_fb_ok:
+        m = -(-rp // _FALLBACK_RAY_TILE)
+        nt_fb = min(16, m)
+        fb_tile = _FALLBACK_RAY_TILE * (-(-m // nt_fb))
+        rp = nt_fb * fb_tile
+        n_tiles = rp // ray_tile
+    r_pad = rp - R
+
     t0 = jnp.full((R,), FLT_MAX, jnp.float32)
     if t_limit is not None:
         t0 = jnp.minimum(t0, t_limit)
@@ -385,112 +602,78 @@ def bruteforce_mesh_pallas(
         ro_p = jnp.pad(ro, ((0, r_pad), (0, 0)))
         rd_p = jnp.pad(rd, ((0, r_pad), (0, 0)), constant_values=1.0)
         t0 = jnp.pad(t0, (0, r_pad))
-    roT = ro_p.T
+    roT = ro_p.T   # (3, Rp)
     rdT = rd_p.T
-    feats = _ray_features_t(roT, rdT)  # (13, Rp)
+    invT = 1.0 / rdT
     aux = jnp.concatenate(
-        [roT, 1.0 / rdT, t0[None, :], jnp.zeros_like(t0)[None, :]],
+        [roT, rdT, invT, t0[None, :],
+         jnp.zeros((6, rp), jnp.float32)],
         axis=0,
-    )  # (8, Rp)
+    )  # (16, Rp)
 
-    # Per-tile compacted chunk visit order. A pre-pass in plain XLA
-    # slab-tests every chunk box against every ray (same negated-NaN
-    # conservatism as the in-kernel cull, reduced with any() per tile);
-    # each tile then visits its geometrically-live chunks first, in
-    # near-to-far order from the ray origins' centroid, with the dead
-    # tail repeating the last live id (same block index -> Mosaic skips
-    # the table DMA; the in-kernel count guard skips the compute). The
-    # in-kernel vector cull still runs on live steps for progressive
-    # t_best / any-hit pruning. Pure visit reordering — results are
-    # identical up to equal-t ties.
-    origin_c = jnp.mean(jax.lax.stop_gradient(ro), axis=0)
-    chunk_c = (tb.cbox[:, 0:3] + tb.cbox[:, 3:6]) * 0.5
-    dist2 = jnp.sum((chunk_c - origin_c[None, :]) ** 2, axis=1)
-    order = jnp.argsort(dist2).astype(jnp.int32)  # (C,) near-to-far
+    sg = jax.lax.stop_gradient
+    ro_t = sg(ro_p).reshape(n_tiles, ray_tile, 3)
+    inv_t = sg(1.0 / rd_p).reshape(n_tiles, ray_tile, 3)
+    t0_t = sg(t0).reshape(n_tiles, ray_tile)
+    torder, counts, total = _tile_tables(ro_t, inv_t, t0_t, tb.cbox)
 
-    ro_tiles = jax.lax.stop_gradient(ro_p).reshape(n_tiles, ray_tile, 3)
-    inv_tiles = jax.lax.stop_gradient(1.0 / rd_p).reshape(
-        n_tiles, ray_tile, 3
-    )
-    t0_tiles = jax.lax.stop_gradient(t0).reshape(n_tiles, ray_tile)
-    cbox_o = tb.cbox[order]  # (C, 8) in near-to-far order
-
-    def _tile_live(args):
-        ro_b, inv_b, t0_b = args  # (BR,3), (BR,3), (BR,)
-        t1 = (cbox_o[None, :, 0:3] - ro_b[:, None, :]) * inv_b[:, None, :]
-        t2 = (cbox_o[None, :, 3:6] - ro_b[:, None, :]) * inv_b[:, None, :]
-        ctmin = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (BR, C)
-        ctmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        live = ~(
-            (ctmin > ctmax) | (ctmax < 0) | (ctmin >= t0_b[:, None])
-        )
-        return jnp.any(live, axis=0)  # (C,) in near-to-far slots
-
-    live = jax.lax.map(_tile_live, (ro_tiles, inv_tiles, t0_tiles))
-    slots = jnp.arange(n_chunks, dtype=jnp.int32)
-    key = jnp.where(live, slots[None, :], n_chunks + slots[None, :])
-    perm_t = jnp.argsort(key, axis=1)              # live-first, stable
-    torder = order[perm_t]                         # (tiles, C) chunk ids
-    counts = jnp.sum(live, axis=1).astype(jnp.int32)
-    last_live = jnp.take_along_axis(
-        torder, jnp.maximum(counts - 1, 0)[:, None], axis=1
-    )
-    torder = jnp.where(
-        slots[None, :] < counts[:, None], torder, last_live
-    ).astype(jnp.int32)
-    counts2 = counts[:, None]
-
-    kernel = functools.partial(
-        _kernel,
-        tc=tri_chunk,
+    kernel_kw = dict(
         backface_culling=backface_culling,
         use_root_filter=use_root_filter,
         anyhit=anyhit,
-        precision=precision,
+        collect_stats=collect_stats,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((13, ray_tile), lambda i, j, to, ct, cb: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 4 * tri_chunk, 13),
-                         lambda i, j, to, ct, cb: (to[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tri_chunk, 3),
-                         lambda i, j, to, ct, cb: (to[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tri_chunk, 3),
-                         lambda i, j, to, ct, cb: (to[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ray_tile), lambda i, j, to, ct, cb: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, ray_tile), lambda i, j, to, ct, cb: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_tile), lambda i, j, to, ct, cb: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+    call = functools.partial(
+        _pallas_call, cbox=tb.cbox, tri=tb.tri, aux=aux, rp=rp,
+        tc=tri_chunk, kernel_kw=kernel_kw, interpret=interpret,
     )
-    t_out, tri_out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, rp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(torder, counts2, tb.cbox, feats, tb.coef, tb.lo, tb.hi, aux)
+
+    def bucket_call(s_cap):
+        pt, pc, pv = _pair_tables(torder, counts, s_cap)
+        return call(pt, pc, pv, ray_tile=ray_tile)
+
+    if fine_fb_ok:
+        def fallback_call():
+            return bucket_call(n_tiles * n_chunks)
+    else:
+        def fallback_call():
+            # Always-correct all-pairs capacity at a coarse tiling
+            # (<= 16 wide tiles keep the (nt_fb * C) tables in SMEM).
+            nt_fb = rp // fb_tile
+            to_fb, ct_fb, _ = _tile_tables(
+                sg(ro_p).reshape(nt_fb, fb_tile, 3),
+                sg(1.0 / rd_p).reshape(nt_fb, fb_tile, 3),
+                sg(t0).reshape(nt_fb, fb_tile),
+                tb.cbox,
+            )
+            pt, pc, pv = _pair_tables(to_fb, ct_fb, nt_fb * n_chunks)
+            return call(pt, pc, pv, ray_tile=fb_tile)
+
+    buckets = [
+        m * n_tiles for m in _S_BUCKETS if m * n_tiles < n_tiles * n_chunks
+    ]
+    if not buckets:
+        t_out, tri_out, stats = bucket_call(n_tiles * n_chunks)
+    else:
+        def make_branch(s_cap, inner):
+            return lambda: jax.lax.cond(
+                total <= s_cap, lambda: bucket_call(s_cap), inner
+            )
+
+        branch = fallback_call
+        for s_cap in reversed(buckets):
+            branch = make_branch(s_cap, branch)
+        t_out, tri_out, stats = branch()
 
     t_best = t_out[0, :R]
     tri_best = tri_out[0, :R]
-    tri_tests = jnp.asarray(R, jnp.int32) * jnp.asarray(T, jnp.int32)
+    tri_tests = stats[0, 0]
+    box_tests = stats[0, 1]
     if anyhit:
         return (
             jnp.full((R,), FLT_MAX, jnp.float32),
             tri_best,
-            jnp.zeros((), jnp.int32),
+            box_tests,
             tri_tests,
         )
     if perm is None:
@@ -500,4 +683,4 @@ def bruteforce_mesh_pallas(
     tri_best = jnp.where(tri_best >= 0, tri_remap, -1)
     found = tri_best >= 0
     t_best = jnp.where(found, t_best, FLT_MAX)
-    return t_best, tri_best, jnp.zeros((), jnp.int32), tri_tests
+    return t_best, tri_best, box_tests, tri_tests

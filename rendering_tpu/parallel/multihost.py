@@ -28,10 +28,13 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
-from rendering_tpu.parallel.shard import make_ray_mesh
+# NOTE: no rendering_tpu imports at module level — importing the wider
+# package materializes jnp constants, which initializes the XLA backend,
+# and jax.distributed.initialize() must run BEFORE any backend init.
+# Callers do `from rendering_tpu.parallel import multihost` first, call
+# initialize_distributed(), then import the renderer.
 
 
 def initialize_distributed(
@@ -63,6 +66,16 @@ def initialize_distributed(
             return jax.process_count() > 1
         except Exception:
             return False
+    # Explicit path: all three values are required together —
+    # jax.distributed.initialize raises opaquely on a partial set
+    # unless cluster autodetection happens to fill the rest.
+    if coordinator_address is None or num_processes is None or process_id is None:
+        raise ValueError(
+            "explicit distributed init needs coordinator_address, "
+            "num_processes AND process_id (args or COORDINATOR_ADDRESS/"
+            f"NUM_PROCESSES/PROCESS_ID env); got address={coordinator_address!r}, "
+            f"num_processes={num_processes!r}, process_id={process_id!r}"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -75,6 +88,8 @@ def make_global_ray_mesh() -> Mesh:
     """1-D mesh with the ray axis spanning EVERY chip of every process
     (ICI within a host, DCN across hosts). The sharded renderer
     (parallel.shard.render_scene_sharded) runs on it unchanged."""
+    from rendering_tpu.parallel.shard import make_ray_mesh
+
     return make_ray_mesh(jax.devices())
 
 
@@ -82,6 +97,8 @@ def make_host_ray_mesh() -> Mesh:
     """1-D mesh over this process's local chips only (ICI-only
     collectives) — for per-host rendering with host-level work
     splitting managed outside JAX."""
+    from rendering_tpu.parallel.shard import make_ray_mesh
+
     return make_ray_mesh(jax.local_devices())
 
 

@@ -60,16 +60,41 @@ def _pad_to(n: int, mult: int) -> int:
     return -(-n // mult) * mult
 
 
+# Pixels per screen tile for the static round-robin device interleave.
+# Matches the reference's 128x128 tile granularity (scene.cpp:364) in
+# spirit: big enough to keep per-device rays coherent for the oracle's
+# tile pre-cull, small enough that expensive screen regions (glass,
+# deep bounces) spread across all chips instead of landing on one
+# contiguous block (SURVEY section 7, hard part 3).
+TILE_PX = 16384
+
+
+def _round_robin_layout(r: int, ndev: int):
+    """Screen-tile round-robin layout: n_tiles = ndev * k tiles of
+    `tile` pixels, device d taking tiles d, d+ndev, ... Returns
+    (rp, perm) with perm (rp,) i32: perm[k] = pixel index handled by
+    global ray slot k (slots are contiguous per device under
+    P('rays'))."""
+    k = max(1, -(-r // (ndev * TILE_PX)))
+    n_tiles = ndev * k
+    rp = _pad_to(r, n_tiles)
+    tile = rp // n_tiles
+    tiles = jnp.arange(rp, dtype=jnp.int32).reshape(n_tiles, tile)
+    order = jnp.concatenate(
+        [jnp.arange(d, n_tiles, ndev, dtype=jnp.int32) for d in range(ndev)]
+    )
+    return rp, tiles[order].reshape(-1)
+
+
 def _primary_sharded(scene, mesh: Mesh, *, ray_block):
     st = scene.static
     w, h = st.settings.width, st.settings.height
     ndev = mesh.devices.size
     r = w * h
-    rp = _pad_to(r, ndev)
+    rp, perm = _round_robin_layout(r, ndev)
 
-    pix = jnp.arange(rp, dtype=jnp.int32)
-    xs = (pix % w).astype(jnp.float32)
-    ys = jnp.minimum(pix // w, h - 1).astype(jnp.float32)
+    xs = (perm % w).astype(jnp.float32)
+    ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
 
     def local(scene, xs_l, ys_l):
         rd = pixel_dirs(scene, xs_l, ys_l, 1.0, 1.0)
@@ -78,7 +103,7 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
         if st.settings.show_normals:
             accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
             stats = _zero_stats()
-            stats["rays_casted"] = jnp.asarray(nloc, jnp.int32)
+            stats["rays_casted"] = jnp.asarray(nloc, jnp.float32)
         else:
             accum3, stats = integrate(
                 scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
@@ -93,7 +118,9 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
         out_specs=(P(None, "rays"), P()),
     )(scene, xs, ys)
 
-    frame3 = accum3[:, :r].reshape(3, h, w)
+    # Undo the round-robin tile permutation (slot k -> pixel perm[k]).
+    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
+    frame3 = flat[:, :r].reshape(3, h, w)
     frame3 = frame3.at[:, h - 1, :].set(0.0)
     frame3 = frame3.at[:, :, w - 1].set(0.0)
     return frame3, stats

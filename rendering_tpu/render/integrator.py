@@ -77,10 +77,20 @@ class Hit(NamedTuple):
 
 
 def _zero_stats():
+    # Test counters accumulate in f32: int32 wraps at ~2.1e9, which a
+    # single 250k-triangle frame exceeds; the reference's counters are
+    # 64-bit atomics (include/stats.h). f32 keeps them monotone and
+    # within ~1e-7 relative — they are a work oracle, not an exact sum.
     return {
-        "rays_casted": jnp.zeros((), jnp.int32),
-        "accel_struct_tests": jnp.zeros((), jnp.int32),
-        "ray_tri_tests": jnp.zeros((), jnp.int32),
+        "rays_casted": jnp.zeros((), jnp.float32),
+        "accel_struct_tests": jnp.zeros((), jnp.float32),
+        "ray_tri_tests": jnp.zeros((), jnp.float32),
+        # Active continuation paths dropped by the transparent-queue
+        # top-Q compaction (must stay 0 for exact parity with the
+        # reference's unbounded recursion tree; capacity = n_rays makes
+        # drops impossible for the bundled scenes — this counter proves
+        # it per render instead of assuming it).
+        "paths_dropped": jnp.zeros((), jnp.float32),
     }
 
 
@@ -121,6 +131,7 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit, mode: str = "closest"):
         if use_pallas:
             fn = bruteforce_mesh_pallas
             kw["mode"] = mode
+            kw["collect_stats"] = settings.collect_statistics
             tables = getattr(mesh, "itables", None)
             if (
                 tables is not None
@@ -165,7 +176,7 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
     settings = st.settings
     q = ro.shape[0]
     stats = _zero_stats()
-    stats["rays_casted"] = jnp.asarray(q, jnp.int32)
+    stats["rays_casted"] = jnp.asarray(q, jnp.float32)
 
     t_sph = (
         intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r)
@@ -251,7 +262,7 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
     dist = jax.lax.stop_gradient(dist)
     q = ro.shape[0]
     stats = _zero_stats()
-    stats["rays_casted"] = jnp.asarray(q, jnp.int32)
+    stats["rays_casted"] = jnp.asarray(q, jnp.float32)
     occluded = jnp.zeros((q,), bool)
 
     sph_mask = [
@@ -666,10 +677,15 @@ def _bounce(scene, queue: Queue, accum3, stats):
     cand_w = jnp.where(cand_w > min_w, cand_w, 0.0)
 
     order = jnp.argsort(-jax.lax.stop_gradient(cand_w), stable=True)[:q]
+    kept_w = cand_w[order]
+    # Drop accounting: active candidates beyond the queue capacity.
+    n_active = jnp.sum((cand_w > min_w).astype(jnp.float32))
+    n_kept = jnp.sum((kept_w > min_w).astype(jnp.float32))
+    stats["paths_dropped"] = stats["paths_dropped"] + (n_active - n_kept)
     return Queue(
         ro3=jnp.moveaxis(cand_ro[:, order].reshape(3, nb, B), 1, 0),
         rd3=jnp.moveaxis(cand_rd[:, order].reshape(3, nb, B), 1, 0),
-        weight=cand_w[order].reshape(nb, B),
+        weight=kept_w.reshape(nb, B),
         pix=cand_pix[order].reshape(nb, B),
     ), accum3
 

@@ -47,7 +47,7 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
         colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
         accum3 = jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(colors3)
         stats = _zero_stats()
-        stats["rays_casted"] = jnp.asarray(w * h, jnp.int32)
+        stats["rays_casted"] = jnp.asarray(w * h, jnp.float32)
     else:
         weight = jnp.ones((w * h,), jnp.float32)
         accum3, stats = integrate(
@@ -161,24 +161,34 @@ def derive_mesh_tables(scene):
     return dataclasses.replace(scene, meshes=meshes)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_block",))
-def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
+def scene_ray_block(scene, ray_block: int = DEFAULT_RAY_BLOCK) -> int:
+    """Scene-aware block size: many-chunk meshes keep 64k-ray blocks so
+    the oracle's per-tile SMEM order tables (n_tiles x chunks ints,
+    doubled by the batched shadow query) stay within the 1MB budget;
+    small scenes take 128k blocks (fewer bounce-map iterations). Shared
+    by every render entry point (render_scene, render_resumable,
+    parallel.shard.render_scene_sharded)."""
+    if ray_block == DEFAULT_RAY_BLOCK and any(
+        ms.n_tris > 65536 for ms in scene.static.meshes
+    ):
+        return DEFAULT_RAY_BLOCK // 2
+    return ray_block
+
+
+@functools.partial(jax.jit, static_argnames=("ray_block", "ssaa_capacity"))
+def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
+                 ssaa_capacity: int | None = None):
     """Full jitted render: returns (frame3 (3, H, W) f32, aux dict).
 
     aux contains device-side stats counters and the SSAA mask size
-    (for capacity-overflow detection host-side).
+    (for capacity-overflow detection host-side). `ssaa_capacity`
+    overrides the fraction-derived refinement queue size (used by the
+    host wrapper's overflow auto-escalation).
     """
     scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
-    # Scene-aware block size: many-chunk meshes keep 64k-ray blocks so
-    # the oracle's per-tile SMEM order tables (n_tiles x chunks ints,
-    # doubled by the batched shadow query) stay within the 1MB budget;
-    # small scenes take 128k blocks (fewer bounce-map iterations).
-    if ray_block == DEFAULT_RAY_BLOCK and any(
-        ms.n_tris > 65536 for ms in st.meshes
-    ):
-        ray_block = DEFAULT_RAY_BLOCK // 2
+    ray_block = scene_ray_block(scene, ray_block)
     if settings.show_ac:
         frame3 = _show_ac_pass(scene, ray_block=ray_block)
         return frame3, {"stats": _zero_stats(),
@@ -187,7 +197,7 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     frame3, stats = _primary_pass(scene, ray_block=ray_block)
     n_masked = jnp.zeros((), jnp.int32)
     if settings.enable_ssaa:
-        capacity = max(
+        capacity = ssaa_capacity or max(
             1, int(settings.width * settings.height
                    * settings.ssaa_capacity_fraction)
         )
@@ -200,22 +210,101 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK):
 
 
 def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
-    """Host-facing render: returns ((H, W, 3) numpy frame, aux). Warns
-    if the SSAA queue capacity was exceeded (edge pixels beyond capacity
-    keep their primary-pass color)."""
+    """Host-facing render: returns ((H, W, 3) numpy frame, aux).
+
+    SSAA queue overflow (more Sobel-masked edge pixels than the
+    fraction-derived capacity) auto-escalates: the render is redone
+    with the capacity raised to the measured mask size (rounded up to
+    a power of two to bound recompiles), so the output always equals
+    the exact fraction=1.0 result regardless of
+    ssaa_capacity_fraction."""
     import numpy as np
 
     frame3, aux = render_scene(scene, ray_block=ray_block)
-    frame = np.asarray(frame3).transpose(1, 2, 0)
     st = scene.static.settings
     cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
     n_masked = int(aux["ssaa_masked"])
     if st.enable_ssaa and not st.show_ac and n_masked > cap:
+        cap2 = min(
+            st.width * st.height, 1 << (max(n_masked, 2) - 1).bit_length()
+        )
+        frame3, aux = render_scene(
+            scene, ray_block=ray_block, ssaa_capacity=cap2
+        )
+    frame = np.asarray(frame3).transpose(1, 2, 0)
+    dropped = float(aux["stats"].get("paths_dropped", 0.0))
+    if dropped:
         print(
-            f"warning: SSAA mask ({n_masked} px) exceeded capacity ({cap}); "
-            f"raise ssaa_capacity_fraction for exact parity"
+            f"warning: {dropped:.0f} transparent continuation paths were "
+            f"dropped by queue compaction; output deviates from the "
+            f"reference's unbounded recursion"
         )
     return frame, aux
+
+
+def render_with_progress(scene, *, strip_rows: int = 128,
+                         ray_block: int = DEFAULT_RAY_BLOCK,
+                         _now=None, _print=print):
+    """`outputProgress` render (src/scene.cpp:486-492): the frame is
+    produced in horizontal strips and the completed-pixel percentage is
+    printed at most once per second, formatted like the reference
+    (`std::fixed << setw(2) << setprecision(0) << pct << "%"`). Strips
+    scatter into disjoint pixels and each primary ray's bounce tree
+    lives in its own wavefront queue, so output equals render() exactly
+    — up to f32 add reassociation when transparent materials reorder a
+    pixel's two continuation children in the per-strip queue sort.
+    Returns ((H, W, 3) numpy frame, aux)."""
+    import time as _time
+
+    import numpy as np
+
+    now = _now or _time.perf_counter
+    st = scene.static.settings
+    w, h = st.width, st.height
+    ray_block = scene_ray_block(scene, ray_block)
+    n_strips = -(-h // strip_rows)
+    accum3 = np.zeros((3, h * w), np.float32)
+    last = now()
+    done_px = 0
+    coef = 100.0 / (w * h)
+    strip_fn = jax.jit(
+        functools.partial(_render_strip, ray_block=ray_block),
+        static_argnames=("y0", "rows"),
+    )
+    stats_acc = {k: 0.0 for k in _zero_stats()}
+    for s in range(n_strips):
+        y0 = s * strip_rows
+        rows = min(strip_rows, h - y0)
+        part, s_stats = strip_fn(scene, y0=y0, rows=rows)
+        accum3 = accum3 + np.asarray(part)
+        for k in stats_acc:
+            stats_acc[k] += float(s_stats[k])
+        done_px += rows * w
+        if (now() - last) > 1.0:
+            _print(f"{coef * done_px:2.0f}%")
+            last = now()
+
+    frame3 = jnp.asarray(accum3.reshape(3, h, w))
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    frame3 = frame3.at[:, :, w - 1].set(0.0)
+    n_masked = jnp.zeros((), jnp.int32)
+    if st.enable_ssaa and not st.show_normals:
+        capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
+        scene_t = derive_mesh_tables(scene)
+        base3 = frame3
+        frame3, n_masked, s2 = _ssaa_pass(
+            scene_t, base3, capacity=capacity, ray_block=ray_block
+        )
+        if int(n_masked) > capacity:  # auto-escalate: exact refinement
+            capacity = min(w * h,
+                           1 << (max(int(n_masked), 2) - 1).bit_length())
+            frame3, n_masked, s2 = _ssaa_pass(
+                scene_t, base3, capacity=capacity, ray_block=ray_block
+            )
+        for k in stats_acc:
+            stats_acc[k] += float(s2[k])
+    frame = np.asarray(frame3).transpose(1, 2, 0)
+    return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
 
 
 def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
@@ -242,6 +331,7 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     st = scene.static.settings
     w, h = st.width, st.height
     n_strips = -(-h // strip_rows)
+    ray_block = scene_ray_block(scene, ray_block)
 
     accum3 = np.zeros((3, h * w), np.float32)
     done = np.zeros((n_strips,), bool)
@@ -249,7 +339,15 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         _step, _p, _o, frame_ck, mask_ck = load_checkpoint(
             checkpoint_path, {}, {}
         )
-        if frame_ck is not None and frame_ck.shape == accum3.shape:
+        # The strip mask length must match the current strip layout —
+        # a checkpoint taken at a different strip_rows would map done
+        # entries onto different row ranges (silently corrupt frame).
+        if (
+            frame_ck is not None
+            and frame_ck.shape == accum3.shape
+            and mask_ck is not None
+            and len(np.asarray(mask_ck)) == n_strips
+        ):
             accum3 = np.asarray(frame_ck)
             done = np.asarray(mask_ck).astype(bool)
 
@@ -262,7 +360,7 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             continue
         y0 = s * strip_rows
         rows = min(strip_rows, h - y0)
-        part = strip_fn(scene, y0=y0, rows=rows)
+        part, _stats = strip_fn(scene, y0=y0, rows=rows)
         accum3 = accum3 + np.asarray(part)
         done[s] = True
         save_checkpoint(checkpoint_path, s + 1, {}, {}, frame=accum3,
@@ -275,9 +373,16 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     if st.enable_ssaa and not st.show_ac and not st.show_normals:
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
+        base3 = frame3
         frame3, n_masked, _ = _ssaa_pass(
-            scene_t, frame3, capacity=capacity, ray_block=ray_block
+            scene_t, base3, capacity=capacity, ray_block=ray_block
         )
+        if int(n_masked) > capacity:  # auto-escalate: exact refinement
+            capacity = min(w * h,
+                           1 << (max(int(n_masked), 2) - 1).bit_length())
+            frame3, n_masked, _ = _ssaa_pass(
+                scene_t, base3, capacity=capacity, ray_block=ray_block
+            )
     frame = np.asarray(frame3).transpose(1, 2, 0)
     return frame, {"ssaa_masked": n_masked}
 
@@ -299,10 +404,11 @@ def _render_strip(scene, *, y0: int, rows: int, ray_block: int):
     rd = pixel_dirs(scene, xs, ys, 1.0, 1.0)
     ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
     if st.show_normals:
-        colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
-        return jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(colors3)
+        accum3 = jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(
+            shade_normals(scene, ro, rd, ray_block=ray_block)
+        )
+        return accum3, _zero_stats()
     weight = jnp.ones((rows * w,), jnp.float32)
-    accum3, _stats = integrate(
+    return integrate(
         scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
     )
-    return accum3

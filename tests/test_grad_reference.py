@@ -1,0 +1,154 @@
+"""Gradient check against the COMPILED C++ REFERENCE (SURVEY section
+4.3 / BASELINE "pixel + grad allclose vs C++ reference").
+
+jax.grad of a scalar loss on our forward is compared against central
+finite differences of the reference binary's u8 output w.r.t. scene-
+file parameter perturbations. The reference only emits u8 frames, so
+each FD probe uses a LARGE epsilon and the loss averages over every
+pixel: the truncating u8 cast contributes ~U(0,1)/255 noise per
+channel, which averages to ~0.3/255/sqrt(3HW) over the frame —
+orders of magnitude below the signal at these epsilons. SSAA is
+disabled (the Sobel mask flips discontinuously under perturbation)
+and parameters are chosen where the reference is smooth: distant-
+light intensity (exactly linear in radiance) and a phong sphere's
+red color channel (linear below saturation).
+
+Loss on both sides mirrors the reference writer's clamp:
+mean(clip(frame, 0, 1)) vs mean(u8)/255 (src/util.cpp:50; the
+saturate-to-127 quirk only hits exactly-1.0 channels whose clipped
+gradient is 0 on our side, and both FD probes see the same 127).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SCENE_TMPL = """[options]
+width=200
+height=150
+background_color=0.52,0.8,0.92
+image_name=golden/fdgrad
+enableOutput=0
+outputProgress=0
+enableSSAA=0
+
+[light]
+type=distant
+direction=0.3,-1,-0.2
+color=1,1,0.9
+intensity={intensity}
+
+[light]
+type=point
+position=-1,1,-1.5
+color=1,1,0.8
+intensity=0.4
+
+[object]
+type=plane
+pos=0.0,-2.0,0.0
+normal=0,1,0
+color=0.8,0.8,0.8
+
+[object]
+type=sphere
+pos=-2,0,-4
+color={red},0.2,0.1
+radius=1
+material=phong,0.4,0.1,0.7,10.0
+
+[object]
+type=sphere
+pos=1.0,0.5,-5
+color=0.2,0.6,0.3
+radius=1.2
+
+[end]
+"""
+
+BASE = {"intensity": 0.3, "red": 0.6}
+
+
+def _ref_mean(ws, binary, **params):
+    """Render the scene with the reference binary; return mean(u8)/255."""
+    from rendering_tpu.utils.bmp import bmp_to_image, load_bmp
+
+    scene_path = os.path.join(ws, "fdgrad.scene")
+    with open(scene_path, "w") as f:
+        f.write(SCENE_TMPL.format(**params))
+    os.makedirs(os.path.join(ws, "golden"), exist_ok=True)
+    subprocess.run(
+        [binary, "fdgrad.scene"], cwd=ws, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    img = bmp_to_image(load_bmp(os.path.join(ws, "golden", "fdgrad.bmp")))
+    return float(img.astype(np.float64).mean()) / 255.0
+
+
+def _our_loss_and_grads(ws):
+    from rendering_tpu.diff.inverse import apply_params, extract_params
+    from rendering_tpu.models.scene import load_scene
+    from rendering_tpu.models.settings import RenderSettings
+    from rendering_tpu.render.pipeline import render_scene
+
+    scene_path = os.path.join(ws, "fdgrad.scene")
+    with open(scene_path, "w") as f:
+        f.write(SCENE_TMPL.format(**BASE))
+    old = os.getcwd()
+    os.chdir(ws)
+    try:
+        scene = load_scene("fdgrad.scene", RenderSettings())
+    finally:
+        os.chdir(old)
+
+    paths = (("lights", 0, "intensity"), ("obj_color",))
+    params = extract_params(scene, paths)
+
+    def loss_fn(params):
+        s = apply_params(scene, params, paths)
+        frame, _ = render_scene(s)
+        return jnp.mean(jnp.clip(frame, 0.0, 1.0))
+
+    grads = jax.grad(loss_fn)(params)
+    g_int = float(grads["lights/0/intensity"])
+    g_red = float(np.asarray(grads["obj_color"])[1, 0])  # sphere obj idx 1
+    return g_int, g_red
+
+
+@pytest.mark.golden
+def test_grad_matches_reference_fd(workspace):
+    from gen_goldens import build_reference
+
+    binary = build_reference()
+    ws = str(workspace)
+
+    g_int, g_red = _our_loss_and_grads(ws)
+
+    eps = 0.05
+    up = _ref_mean(ws, binary, intensity=BASE["intensity"] + eps,
+                   red=BASE["red"])
+    dn = _ref_mean(ws, binary, intensity=BASE["intensity"] - eps,
+                   red=BASE["red"])
+    fd_int = (up - dn) / (2 * eps)
+
+    eps_c = 0.1
+    up = _ref_mean(ws, binary, intensity=BASE["intensity"],
+                   red=BASE["red"] + eps_c)
+    dn = _ref_mean(ws, binary, intensity=BASE["intensity"],
+                   red=BASE["red"] - eps_c)
+    fd_red = (up - dn) / (2 * eps_c)
+
+    assert fd_int > 1e-3 and g_int > 1e-3, (fd_int, g_int)
+    assert fd_red > 1e-4 and g_red > 1e-4, (fd_red, g_red)
+    np.testing.assert_allclose(g_int, fd_int, rtol=0.08)
+    np.testing.assert_allclose(g_red, fd_red, rtol=0.08)
