@@ -115,10 +115,11 @@ class MeshData:
     # gathers from these produce (C, Q) buffers, which TPU tiles pad
     # ~1.7x instead of the 42x a gathered f32[Q, 3] would cost.
     vT: jnp.ndarray         # (9, T)
-    nT: jnp.ndarray         # (9, T)
-    uvT: jnp.ndarray        # (6, T)
-    tanT: jnp.ndarray       # (3, T)
-    bitT: jnp.ndarray       # (3, T)
+    # Combined surface-data gather table (21, T): rows 0-8 vertex
+    # normals, 9-14 uvs, 15-17 tangent, 18-20 bitangent. One table ->
+    # ONE hit-index gather (and one gradient scatter) per bounce block
+    # instead of four; each gather costs ~0.8 ms fixed on TPU.
+    geoT: jnp.ndarray       # (21, T)
     reach_lo: jnp.ndarray   # (T, 3) — see accel.bvh.FlatBVH.reach_lo
     reach_hi: jnp.ndarray   # (T, 3)
     node_min: jnp.ndarray   # (N, 3)
@@ -248,10 +249,12 @@ def build_scene(sd: SceneDef) -> SceneData:
                     tangent=jnp.asarray(m.tangent),
                     bitangent=jnp.asarray(m.bitangent),
                     vT=jnp.asarray(m.v.reshape(t_count, 9).T.copy()),
-                    nT=jnp.asarray(m.n.reshape(t_count, 9).T.copy()),
-                    uvT=jnp.asarray(m.uv.reshape(t_count, 6).T.copy()),
-                    tanT=jnp.asarray(m.tangent.T.copy()),
-                    bitT=jnp.asarray(m.bitangent.T.copy()),
+                    geoT=jnp.asarray(np.concatenate([
+                        m.n.reshape(t_count, 9).T,
+                        m.uv.reshape(t_count, 6).T,
+                        m.tangent.T,
+                        m.bitangent.T,
+                    ], axis=0).copy()),
                     reach_lo=jnp.asarray(bvh.reach_lo),
                     reach_hi=jnp.asarray(bvh.reach_hi),
                     node_min=jnp.asarray(bvh.node_min),

@@ -105,10 +105,13 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
             stats = _zero_stats()
             stats["rays_casted"] = jnp.asarray(nloc, jnp.float32)
         else:
+            # Local pixel ids are the identity, so slot accumulation
+            # (no pixel scatter) is exact whenever no transparent
+            # resort reassigns slots.
             accum3, stats = integrate(
                 scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
                 jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
-                ray_block=ray_block,
+                ray_block=ray_block, out_slots=not st.any_transparent,
             )
         stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
         return accum3, stats

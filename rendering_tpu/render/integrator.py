@@ -292,8 +292,13 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
     for mi, mesh in enumerate(scene.meshes):
         if not mesh_mask[mi]:
             continue
+        # Rays already occluded (spheres/planes/earlier meshes) enter
+        # pre-done (t0 = -1 culls every chunk) — exact: occluded is
+        # already final for them.
+        dist_m = jnp.where(occluded, -1.0, dist)
         tri_d, bt, tt = _mesh_oracle(
-            jax.lax.stop_gradient(mesh), settings, ro, rd, dist, mode="any"
+            jax.lax.stop_gradient(mesh), settings, ro, rd, dist_m,
+            mode="any"
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
@@ -333,8 +338,11 @@ def surface_data(scene, hit: Hit, hit_point):
             mesh = scene.meshes[sub]
             ms = st.meshes[sub]
             ti = jnp.maximum(hit.tri, 0)
-            n0, n1, n2 = _gather_tri9(mesh.nT, ti)
-            uvg = mesh.uvT[:, ti]  # (6, Q)
+            g = mesh.geoT[:, ti]  # (21, Q): n9 | uv6 | tan3 | bit3
+            n0 = jnp.stack([g[0], g[1], g[2]], axis=-1)
+            n1 = jnp.stack([g[3], g[4], g[5]], axis=-1)
+            n2 = jnp.stack([g[6], g[7], g[8]], axis=-1)
+            uvg = g[9:15]  # (6, Q)
             uu = hit.u[:, None]
             vv = hit.v[:, None]
             w0 = (1.0 - hit.u - hit.v)[:, None]
@@ -352,10 +360,8 @@ def surface_data(scene, hit: Hit, hit_point):
             if ms.has_normal_map:
                 # Tangent-space normal via the (unorthonormalized) TBN
                 # rows exactly as objects.cpp:129-150.
-                tg = mesh.tanT[:, ti]   # (3, Q)
-                bg = mesh.bitT[:, ti]
-                tang = jnp.stack([tg[0], tg[1], tg[2]], -1)
-                bita = jnp.stack([bg[0], bg[1], bg[2]], -1)
+                tang = jnp.stack([g[15], g[16], g[17]], -1)
+                bita = jnp.stack([g[18], g[19], g[20]], -1)
                 tn_map = normalize(sample_map(mesh.normal_map, ms.nmap_wh, tc))
                 n = normalize(
                     tn_map[:, 0:1] * tang + tn_map[:, 1:2] * bita + tn_map[:, 2:3] * n
@@ -426,7 +432,8 @@ def _point_falloff(intensity, d2):
     return jnp.minimum(1.0, intensity / (4.0 * math.pi * safe / 1000.0))
 
 
-def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
+def lighting(scene, hit_point, normal, rd, nspec, *, stats, mask=None,
+             ray_block=None):
     """Direct lighting over all lights, shared by every material branch
     (the per-branch light loops at scene.cpp:780-941 compute the same
     two sums). Returns (diffuse_comp (Q,3), spec_comp (Q,3)).
@@ -444,11 +451,17 @@ def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
     # Point/distant shadow rays share their origins and the mesh chunk
     # tables, so ALL of them go through ONE batched any-hit occlusion
     # query (rays concatenated along the batch axis) — one kernel
-    # launch and one tile pre-cull instead of one per light.
+    # launch and one tile pre-cull instead of one per light. Rays whose
+    # result is provably unused enter the query pre-done (t0 = -1, the
+    # any-hit done marker: every chunk is culled for them): miss/
+    # inactive lanes (the material combine masks their contribution)
+    # and lanes where BOTH the diffuse (ndl <= 0) and specular
+    # (spec_pow(rdv) <= 0) factors are zero so visibility cannot
+    # matter. Exact — only the multiplied-by-zero lanes are skipped.
     point_lights = [
         li for li in scene.lights if li.kind in ("distant", "point")
     ]
-    batched = []  # (ldir, inten, dist) per light
+    batched = []  # (ldir, inten, dist, ndl, spec_f) per light
     for light in point_lights:
         if light.kind == "distant":
             ldir = jnp.broadcast_to(light.dir, (q, 3))
@@ -463,25 +476,29 @@ def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
             )
             ldir = normalize(delta)
             dist = jnp.sqrt(d2)
-        batched.append((ldir, inten, dist))
+        ndl = jnp.maximum(0.0, dot(normal, -ldir))
+        spec_f = spec_pow(jnp.maximum(0.0, dot(reflect(ldir, normal), -rd)),
+                          nspec)
+        unused = (ndl <= 0.0) & (spec_f <= 0.0)
+        if mask is not None:
+            unused = unused | ~mask
+        dist = jnp.where(jax.lax.stop_gradient(unused), -1.0, dist)
+        batched.append((ldir, inten, dist, ndl, spec_f))
 
     if batched:
         n_l = len(batched)
         occ_all, s_stats = trace_occlusion(
             scene,
             jnp.tile(shadow_orig, (n_l, 1)),
-            jnp.concatenate([-ld for ld, _, _ in batched]),
-            jnp.concatenate([ds for _, _, ds in batched]),
+            jnp.concatenate([-b[0] for b in batched]),
+            jnp.concatenate([b[2] for b in batched]),
         )
         for k in stats:
             stats[k] = stats[k] + s_stats[k]
-        for li, (ldir, inten, dist) in enumerate(batched):
+        for li, (ldir, inten, dist, ndl, spec_f) in enumerate(batched):
             vis = (~occ_all[li * q : (li + 1) * q]).astype(jnp.float32)
-            ndl = jnp.maximum(0.0, dot(normal, -ldir))
             diffuse_c = diffuse_c + inten * (vis * ndl)[:, None]
-            refl = reflect(ldir, normal)
-            rdv = jnp.maximum(0.0, dot(refl, -rd))
-            spec_c = spec_c + (vis * spec_pow(rdv, nspec))[:, None] * inten
+            spec_c = spec_c + (vis * spec_f)[:, None] * inten
 
     for light in scene.lights:
         if light.kind in ("distant", "point"):
@@ -491,6 +508,10 @@ def lighting(scene, hit_point, normal, rd, nspec, *, stats, ray_block=None):
             s_count = pts.shape[0]
             delta = hit_point[:, None, :] - pts[None, :, :]      # (Q, S, 3)
             dist_s = jnp.sqrt(jnp.sum(delta * delta, axis=-1))   # (Q, S)
+            if mask is not None:  # pre-done miss/inactive lanes (exact)
+                dist_s = jnp.where(
+                    jax.lax.stop_gradient(mask)[:, None], dist_s, -1.0
+                )
             ldn = normalize(delta)
             occ, s_stats = trace_occlusion(
                 scene,
@@ -556,7 +577,7 @@ def _bounce_block(scene, ro, rd, weight, active) -> BlockOut:
     mat = scene.mat_type[hit.obj]
 
     diffuse_c, spec_c = lighting(
-        scene, hit_point, normal, rd, nspec, stats=stats
+        scene, hit_point, normal, rd, nspec, stats=stats, mask=hit_m
     )
 
     # Material combine (scene.cpp:780-941).
@@ -639,8 +660,15 @@ class Queue(NamedTuple):
     pix: jnp.ndarray     # (nb, B) i32
 
 
-def _bounce(scene, queue: Queue, accum3, stats):
-    """One castRay level for the whole queue. Returns (queue', accum3')."""
+def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
+    """One castRay level for the whole queue. Returns (queue', accum3').
+
+    slot_accum: accumulate contributions per QUEUE SLOT ((nb, 3, B)
+    accumulator) instead of scatter-adding into the pixel buffer —
+    valid whenever slot -> pixel is fixed across bounces (no
+    transparent-queue resorting). The caller unpermutes once at the
+    end; this removes a (3, n_pixels)-sized scatter per render (~250ms
+    at 4M pixels on TPU)."""
     st = scene.static
     min_w = st.settings.min_weight
     nb, _, B = queue.ro3.shape
@@ -655,10 +683,13 @@ def _bounce(scene, queue: Queue, accum3, stats):
     for k in stats:
         stats[k] = stats[k] + jnp.sum(out.stats[k])
 
-    # Scatter contributions (values flattened to (3, Q) — minor dim Q).
-    contrib_flat = jnp.moveaxis(out.contrib3, 0, 1).reshape(3, q)
-    pix_flat = queue.pix.reshape(q)
-    accum3 = accum3.at[:, pix_flat].add(contrib_flat)
+    if slot_accum:
+        accum3 = accum3 + out.contrib3
+    else:
+        # Scatter contributions (values flat to (3, Q) — minor dim Q).
+        contrib_flat = jnp.moveaxis(out.contrib3, 0, 1).reshape(3, q)
+        pix_flat = queue.pix.reshape(q)
+        accum3 = accum3.at[:, pix_flat].add(contrib_flat)
 
     if not st.any_transparent:
         # Single continuation in place — no compaction needed.
@@ -709,15 +740,30 @@ def _to_blocks(ro, rd, pix, weight, block):
 
 
 def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
-              ray_block: int = DEFAULT_RAY_BLOCK):
+              ray_block: int = DEFAULT_RAY_BLOCK,
+              out_slots: bool = False):
     """Run the full bounce loop for a ray batch; scatter-add weighted
     radiance into a (3, n_pixels) accumulator. Returns (accum3, stats).
+
+    out_slots=True returns the radiance per INPUT RAY instead —
+    (3, len(ro)), slot i = total radiance of ray i's bounce tree — and
+    never touches a pixel buffer (the caller owns the slot -> pixel
+    mapping, typically a static screen-tile permutation it can invert
+    with a transpose/static gather instead of a huge scatter). Only
+    valid without transparent materials: the transparent queue resort
+    reassigns slots mid-loop.
     """
     st = scene.static
+    if out_slots:
+        assert not st.any_transparent, "slot accumulation needs fixed slots"
     n_bounces = (st.settings.max_ray_depth + 1) if st.any_bouncing else 1
-    accum3 = jnp.zeros((3, n_pixels), jnp.float32)
+    r_in = ro.shape[0]
     stats = _zero_stats()
     queue = _to_blocks(ro, rd, pix, weight, min(ray_block, ro.shape[0]))
+    if out_slots:
+        accum3 = jnp.zeros(queue.ro3.shape, jnp.float32)  # (nb, 3, B)
+    else:
+        accum3 = jnp.zeros((3, n_pixels), jnp.float32)
 
     accum3, queue, stats = pvary_like(
         (accum3, queue, stats), ro, rd, weight, pix
@@ -726,7 +772,9 @@ def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
     def body(carry, _):
         queue, accum3, stats = carry
         stats = dict(stats)
-        queue, accum3 = _bounce(scene, queue, accum3, stats)
+        queue, accum3 = _bounce(
+            scene, queue, accum3, stats, slot_accum=out_slots
+        )
         return (queue, accum3, stats), None
 
     (queue, accum3, stats), _ = jax.lax.scan(
@@ -747,9 +795,15 @@ def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
 
         tail3 = jax.lax.map(tail_block, (queue.rd3, queue.weight))
         nb, _, B = queue.ro3.shape
-        accum3 = accum3.at[:, queue.pix.reshape(-1)].add(
-            jnp.moveaxis(tail3, 0, 1).reshape(3, nb * B)
-        )
+        if out_slots:
+            accum3 = accum3 + tail3
+        else:
+            accum3 = accum3.at[:, queue.pix.reshape(-1)].add(
+                jnp.moveaxis(tail3, 0, 1).reshape(3, nb * B)
+            )
+    if out_slots:
+        nb, _, B = accum3.shape
+        accum3 = jnp.moveaxis(accum3, 0, 1).reshape(3, nb * B)[:, :r_in]
     return accum3, stats
 
 

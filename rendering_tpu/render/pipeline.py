@@ -36,7 +36,18 @@ from rendering_tpu.render.integrator import (
     integrate,
     shade_normals,
 )
-from rendering_tpu.render.raygen import pixel_dirs, primary_rays
+from rendering_tpu.render.raygen import pixel_dirs, primary_rays, tile_dims
+
+
+def _untile(slots3, w: int, h: int):
+    """Invert the primary-ray screen-tile permutation with reshapes +
+    one transpose (tile_dims guarantees exact tiling): slot s maps to
+    (tile_row, tile_col, y_in_tile, x_in_tile) row-major. Replaces a
+    (3, w*h) pixel scatter (~250 ms at 4M pixels) with pure data
+    movement."""
+    tw, th = tile_dims(w, h)
+    t = slots3.reshape(3, h // th, w // tw, th, tw)
+    return t.transpose(0, 1, 3, 2, 4).reshape(3, h, w)
 
 
 def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
@@ -45,15 +56,23 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     ro, rd, pix = primary_rays(scene, offset=1.0)
     if st.settings.show_normals:
         colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
-        accum3 = jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(colors3)
+        frame3 = _untile(colors3, w, h)
         stats = _zero_stats()
         stats["rays_casted"] = jnp.asarray(w * h, jnp.float32)
     else:
         weight = jnp.ones((w * h,), jnp.float32)
-        accum3, stats = integrate(
-            scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
-        )
-    frame3 = accum3.reshape(3, h, w)
+        if st.any_transparent:
+            accum3, stats = integrate(
+                scene, ro, rd, pix, weight, n_pixels=w * h,
+                ray_block=ray_block,
+            )
+            frame3 = accum3.reshape(3, h, w)
+        else:
+            slots3, stats = integrate(
+                scene, ro, rd, pix, weight, n_pixels=w * h,
+                ray_block=ray_block, out_slots=True,
+            )
+            frame3 = _untile(slots3, w, h)
     # Dead last row/column (scene.cpp:369-372): never rendered, stays 0.
     frame3 = frame3.at[:, h - 1, :].set(0.0)
     frame3 = frame3.at[:, :, w - 1].set(0.0)
@@ -139,7 +158,7 @@ def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
 
 
 def derive_mesh_tables(scene):
-    """Re-derive the transposed gather tables (vT/nT/uvT/tanT/bitT) from
+    """Re-derive the transposed gather tables (vT/geoT) from
     the canonical per-triangle arrays INSIDE the traced program, so
     `jax.grad` w.r.t. vertices/normals/uvs/tangents flows through the
     differentiable hit re-evaluation (the build-time copies are
@@ -151,10 +170,11 @@ def derive_mesh_tables(scene):
         dataclasses.replace(
             m,
             vT=m.v.reshape(-1, 9).T,
-            nT=m.n.reshape(-1, 9).T,
-            uvT=m.uv.reshape(-1, 6).T,
-            tanT=m.tangent.T,
-            bitT=m.bitangent.T,
+            geoT=jnp.concatenate(
+                [m.n.reshape(-1, 9).T, m.uv.reshape(-1, 6).T,
+                 m.tangent.T, m.bitangent.T],
+                axis=0,
+            ),
         )
         for m in scene.meshes
     )

@@ -38,6 +38,18 @@ def pixel_dirs(scene, xs, ys, offset_x: float, offset_y: float):
     return d[:, 0:1] * r[0] + d[:, 1:2] * r[1] + d[:, 2:3] * r[2]
 
 
+def tile_dims(w: int, h: int, tw: int = 32, th: int = 16):
+    """Largest tile dims <= (tw, th) that divide the frame exactly.
+    With exact tiling the tile_order permutation is a pure reshape +
+    transpose, so the primary pass can invert it with a transpose
+    instead of a 4M-lane scatter/gather (see pipeline._primary_pass)."""
+    while tw > 1 and w % tw:
+        tw //= 2
+    while th > 1 and h % th:
+        th //= 2
+    return tw, th
+
+
 def tile_order(w: int, h: int, tw: int = 32, th: int = 16):
     """Pixel permutation grouping screen tiles of tw x th contiguously
     (row-major within a tile, tiles row-major; ragged edges fold into
@@ -74,7 +86,8 @@ def primary_rays(scene, offset: float = 1.0, *, tiled: bool = True):
     ys = ys.reshape(-1)
     pix = jnp.arange(w * h, dtype=jnp.int32)
     if tiled:
-        perm = jnp.asarray(tile_order(w, h))
+        tw, th = tile_dims(w, h)
+        perm = jnp.asarray(tile_order(w, h, tw, th))
         xs = xs[perm]
         ys = ys[perm]
         pix = perm

@@ -24,8 +24,7 @@ def _mesh_from(tri_v, bounds, **kw):
         uv=jnp.zeros((t_count, 3, 2)),
         tangent=jnp.zeros((t_count, 3)), bitangent=jnp.zeros((t_count, 3)),
         vT=jnp.asarray(tri_v.reshape(t_count, 9).T.copy()),
-        nT=jnp.zeros((9, t_count)), uvT=jnp.zeros((6, t_count)),
-        tanT=jnp.zeros((3, t_count)), bitT=jnp.zeros((3, t_count)),
+        geoT=jnp.zeros((21, t_count)),
         reach_lo=jnp.asarray(bvh.reach_lo), reach_hi=jnp.asarray(bvh.reach_hi),
         node_min=jnp.asarray(bvh.node_min), node_max=jnp.asarray(bvh.node_max),
         skip=jnp.asarray(bvh.skip), leaf_start=jnp.asarray(bvh.leaf_start),
