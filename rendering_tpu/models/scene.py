@@ -111,15 +111,14 @@ class MeshData:
     uv: jnp.ndarray         # (T, 3, 2)
     tangent: jnp.ndarray    # (T, 3)
     bitangent: jnp.ndarray  # (T, 3)
-    # Transposed gather tables (component-major, minor dim = T): per-ray
-    # gathers from these produce (C, Q) buffers, which TPU tiles pad
-    # ~1.7x instead of the 42x a gathered f32[Q, 3] would cost.
-    vT: jnp.ndarray         # (9, T)
-    # Combined surface-data gather table (21, T): rows 0-8 vertex
-    # normals, 9-14 uvs, 15-17 tangent, 18-20 bitangent. One table ->
-    # ONE hit-index gather (and one gradient scatter) per bounce block
-    # instead of four; each gather costs ~0.8 ms fixed on TPU.
-    geoT: jnp.ndarray       # (21, T)
+    # ONE combined transposed gather table (component-major, minor dim
+    # = T): rows 0-8 vertices, 9-17 vertex normals, 18-23 uvs, 24-26
+    # tangent, 27-29 bitangent. A per-ray gather from it produces a
+    # (30, Q) buffer (minor dim large: ~1.7x tile pad instead of the
+    # 42x a gathered f32[Q, 3] would cost), and since a TPU gather
+    # costs ~0.8ms fixed per 64k rays regardless of row count, one
+    # 30-row gather (and one gradient scatter) replaces what were six.
+    vgeoT: jnp.ndarray      # (30, T)
     reach_lo: jnp.ndarray   # (T, 3) — see accel.bvh.FlatBVH.reach_lo
     reach_hi: jnp.ndarray   # (T, 3)
     node_min: jnp.ndarray   # (N, 3)
@@ -248,8 +247,8 @@ def build_scene(sd: SceneDef) -> SceneData:
                     uv=jnp.asarray(m.uv),
                     tangent=jnp.asarray(m.tangent),
                     bitangent=jnp.asarray(m.bitangent),
-                    vT=jnp.asarray(m.v.reshape(t_count, 9).T.copy()),
-                    geoT=jnp.asarray(np.concatenate([
+                    vgeoT=jnp.asarray(np.concatenate([
+                        m.v.reshape(t_count, 9).T,
                         m.n.reshape(t_count, 9).T,
                         m.uv.reshape(t_count, 6).T,
                         m.tangent.T,

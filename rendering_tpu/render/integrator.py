@@ -74,6 +74,12 @@ class Hit(NamedTuple):
     tri: jnp.ndarray    # (Q,) i32 (mesh hits; -1 otherwise)
     u: jnp.ndarray      # (Q,)
     v: jnp.ndarray      # (Q,)
+    # Gathered per-hit surface rows of the WINNING mesh (30, Q):
+    # vgeoT rows [v 0-8 | n 9-17 | uv 18-23 | tan 24-26 | bit 27-29].
+    # A TPU gather costs ~0.8ms fixed per 64k rays regardless of row
+    # count, so trace_closest gathers ALL rows once and surface_data
+    # reuses them instead of gathering again. None when no meshes.
+    geo: jnp.ndarray | None = None
 
 
 def _zero_stats():
@@ -189,7 +195,7 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
         else None
     )
 
-    mesh_t, mesh_tri, mesh_u, mesh_v = [], [], [], []
+    mesh_t, mesh_tri, mesh_u, mesh_v, mesh_geo = [], [], [], [], []
     for mesh in scene.meshes:
         tri_d, bt, tt = _mesh_oracle(
             jax.lax.stop_gradient(mesh), settings,
@@ -198,8 +204,14 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
-        # Differentiable re-evaluation on the selected triangle.
-        v0, v1, v2 = _gather_tri9(mesh.vT, jnp.maximum(tri_d, 0))
+        # ONE gather of every per-triangle surface row (a gather costs
+        # the same regardless of row count); rows 0-8 feed the
+        # differentiable hit re-evaluation here, the rest ride along in
+        # Hit.geo for surface_data.
+        g = mesh.vgeoT[:, jnp.maximum(tri_d, 0)]  # (30, Q)
+        v0 = jnp.stack([g[0], g[1], g[2]], axis=-1)
+        v1 = jnp.stack([g[3], g[4], g[5]], axis=-1)
+        v2 = jnp.stack([g[6], g[7], g[8]], axis=-1)
         t_r, u_r, v_r, _ = ray_triangle(
             ro, rd, v0, v1, v2, settings.use_backface_culling
         )
@@ -208,6 +220,7 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
         mesh_tri.append(jnp.where(found, tri_d, -1))
         mesh_u.append(jnp.where(found, u_r, 0.0))
         mesh_v.append(jnp.where(found, v_r, 0.0))
+        mesh_geo.append(g)
 
     cols = []
     for oi, kind in enumerate(st.obj_kinds):
@@ -237,6 +250,7 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
     tri = jnp.full((q,), -1, jnp.int32)
     u = jnp.zeros((q,), jnp.float32)
     v = jnp.zeros((q,), jnp.float32)
+    geo = None
     for oi, kind in enumerate(st.obj_kinds):
         if kind == KIND_MESH:
             sub = st.obj_subs[oi]
@@ -244,7 +258,11 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
             tri = jnp.where(sel, mesh_tri[sub], tri)
             u = jnp.where(sel, mesh_u[sub], u)
             v = jnp.where(sel, mesh_v[sub], v)
-    return Hit(t, obj, hit, tri, u, v), stats
+            geo = (
+                mesh_geo[sub] if geo is None
+                else jnp.where(sel[None, :], mesh_geo[sub], geo)
+            )
+    return Hit(t, obj, hit, tri, u, v, geo), stats
 
 
 def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
@@ -335,10 +353,11 @@ def surface_data(scene, hit: Hit, hit_point):
                 sel[:, None], jnp.stack([d[:, 0] / 15.0, d[:, 2] / 15.0], -1), tex
             )
         else:
-            mesh = scene.meshes[sub]
             ms = st.meshes[sub]
-            ti = jnp.maximum(hit.tri, 0)
-            g = mesh.geoT[:, ti]  # (21, Q): n9 | uv6 | tan3 | bit3
+            # Surface rows already gathered by trace_closest (Hit.geo);
+            # lanes where another mesh won hold that mesh's rows, but
+            # `sel` masks them out exactly as before.
+            g = hit.geo[9:]  # (21, Q): n9 | uv6 | tan3 | bit3
             n0 = jnp.stack([g[0], g[1], g[2]], axis=-1)
             n1 = jnp.stack([g[3], g[4], g[5]], axis=-1)
             n2 = jnp.stack([g[6], g[7], g[8]], axis=-1)
@@ -362,7 +381,9 @@ def surface_data(scene, hit: Hit, hit_point):
                 # rows exactly as objects.cpp:129-150.
                 tang = jnp.stack([g[15], g[16], g[17]], -1)
                 bita = jnp.stack([g[18], g[19], g[20]], -1)
-                tn_map = normalize(sample_map(mesh.normal_map, ms.nmap_wh, tc))
+                tn_map = normalize(sample_map(
+                    scene.meshes[sub].normal_map, ms.nmap_wh, tc
+                ))
                 n = normalize(
                     tn_map[:, 0:1] * tang + tn_map[:, 1:2] * bita + tn_map[:, 2:3] * n
                 )

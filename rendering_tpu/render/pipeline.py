@@ -158,7 +158,7 @@ def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
 
 
 def derive_mesh_tables(scene):
-    """Re-derive the transposed gather tables (vT/geoT) from
+    """Re-derive the transposed gather table (vgeoT) from
     the canonical per-triangle arrays INSIDE the traced program, so
     `jax.grad` w.r.t. vertices/normals/uvs/tangents flows through the
     differentiable hit re-evaluation (the build-time copies are
@@ -169,10 +169,9 @@ def derive_mesh_tables(scene):
     meshes = tuple(
         dataclasses.replace(
             m,
-            vT=m.v.reshape(-1, 9).T,
-            geoT=jnp.concatenate(
-                [m.n.reshape(-1, 9).T, m.uv.reshape(-1, 6).T,
-                 m.tangent.T, m.bitangent.T],
+            vgeoT=jnp.concatenate(
+                [m.v.reshape(-1, 9).T, m.n.reshape(-1, 9).T,
+                 m.uv.reshape(-1, 6).T, m.tangent.T, m.bitangent.T],
                 axis=0,
             ),
         )

@@ -77,20 +77,30 @@ def primary_rays(scene, offset: float = 1.0, *, tiled: bool = True):
     Returns (ro, rd, pix) with shapes (R, 3), (R, 3), (R,)."""
     st = scene.static.settings
     w, h = st.width, st.height
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32),
-        jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
-    xs = xs.reshape(-1)
-    ys = ys.reshape(-1)
-    pix = jnp.arange(w * h, dtype=jnp.int32)
     if tiled:
+        # Tile-order coordinates ARITHMETICALLY from the slot index
+        # (tile_dims guarantees exact tiling, so slot -> (x, y) is pure
+        # integer math) — two 4M-element permutation gathers otherwise
+        # cost ~60ms per frame on TPU.
         tw, th = tile_dims(w, h)
-        perm = jnp.asarray(tile_order(w, h, tw, th))
-        xs = xs[perm]
-        ys = ys[perm]
-        pix = perm
+        s = jnp.arange(w * h, dtype=jnp.int32)
+        tile_id, within = s // (tw * th), s % (tw * th)
+        ty, tx = within // tw, within % tw
+        tiles_x = w // tw
+        x = (tile_id % tiles_x) * tw + tx
+        y = (tile_id // tiles_x) * th + ty
+        xs = x.astype(jnp.float32)
+        ys = y.astype(jnp.float32)
+        pix = y * w + x
+    else:
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        xs = xs.reshape(-1)
+        ys = ys.reshape(-1)
+        pix = jnp.arange(w * h, dtype=jnp.int32)
     rd = pixel_dirs(scene, xs, ys, offset, offset)
     ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
     return ro, rd, pix

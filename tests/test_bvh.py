@@ -23,8 +23,9 @@ def _mesh_from(tri_v, bounds, **kw):
         v=jnp.asarray(tri_v), n=jnp.asarray(z3),
         uv=jnp.zeros((t_count, 3, 2)),
         tangent=jnp.zeros((t_count, 3)), bitangent=jnp.zeros((t_count, 3)),
-        vT=jnp.asarray(tri_v.reshape(t_count, 9).T.copy()),
-        geoT=jnp.zeros((21, t_count)),
+        vgeoT=jnp.concatenate(
+            [jnp.asarray(tri_v.reshape(t_count, 9).T.copy()),
+             jnp.zeros((21, t_count))], axis=0),
         reach_lo=jnp.asarray(bvh.reach_lo), reach_hi=jnp.asarray(bvh.reach_hi),
         node_min=jnp.asarray(bvh.node_min), node_max=jnp.asarray(bvh.node_max),
         skip=jnp.asarray(bvh.skip), leaf_start=jnp.asarray(bvh.leaf_start),
