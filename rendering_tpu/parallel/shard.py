@@ -111,7 +111,7 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
             accum3, stats = integrate(
                 scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
                 jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
-                ray_block=ray_block, out_slots=not st.any_transparent,
+                ray_block=ray_block, out_slots=not st.any_bouncing,
             )
         stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
         return accum3, stats

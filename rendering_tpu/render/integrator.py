@@ -19,9 +19,11 @@ Design (TPU-first, not a port):
   (weight*kr) (scene.cpp:897-908). Contributions are linear in child
   radiance, so the weighted path sum EQUALS the reference's tree sum.
 * With transparent materials present the two children per ray are
-  compacted back to capacity Q by a stable descending-weight sort; a
-  dropped path is always the smallest weight in flight (capacity =
-  n_rays makes drops impossible for the bundled scenes).
+  compacted back to capacity Q; active paths are kept ahead of
+  inactive lanes and ordered by a Morton key of their origins (queue
+  sorting keeps the intersection kernel's ray tiles spatially coherent
+  across bounces). Capacity = n_rays makes drops impossible for the
+  bundled scenes; any drop is counted in stats["paths_dropped"].
 * Discrete hit topology (mesh hit oracle, object argmin, shadow
   visibility) is computed under stop_gradient; hit t/u/v are then
   RE-EVALUATED differentiably from gathered primitive data, so
@@ -49,7 +51,13 @@ from rendering_tpu.models.scene import (
     MAT_REFLECTIVE,
     MAT_TRANSPARENT,
 )
-from rendering_tpu.ops.geometry import FLT_MAX, dot, normalize, pvary_like
+from rendering_tpu.ops.geometry import (
+    FLT_MAX,
+    dot,
+    morton_key,
+    normalize,
+    pvary_like,
+)
 from rendering_tpu.ops.intersect import (
     intersect_planes,
     intersect_spheres,
@@ -713,12 +721,39 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
         accum3 = accum3.at[:, pix_flat].add(contrib_flat)
 
     if not st.any_transparent:
-        # Single continuation in place — no compaction needed.
+        if slot_accum:
+            # Single continuation in place — slots stay pixel-aligned.
+            return Queue(
+                ro3=out.c1_ro3, rd3=out.c1_rd3, weight=out.c1_w,
+                pix=queue.pix
+            ), accum3
+        # Scatter mode (bouncing scene): Morton-sort the continuation
+        # queue by origin so the next bounce's ray tiles stay spatially
+        # coherent after reflection scatters them (incoherent tiles
+        # cost the intersection kernel ~60x; see ops.geometry.morton_key).
+        # Inactive lanes sort last. Pure reordering — contributions
+        # ride with pix.
+        def flat3(a):  # (nb, 3, B) -> (3, Q)
+            return jnp.moveaxis(a, 0, 1).reshape(3, q)
+
+        c_ro = flat3(out.c1_ro3)
+        c_rd = flat3(out.c1_rd3)
+        c_w = out.c1_w.reshape(q)
+        active = c_w > min_w
+        key = jnp.where(active, morton_key(c_ro.T), jnp.uint32(0xFFFFFFFF))
+        order = jnp.argsort(key, stable=True)
         return Queue(
-            ro3=out.c1_ro3, rd3=out.c1_rd3, weight=out.c1_w, pix=queue.pix
+            ro3=jnp.moveaxis(c_ro[:, order].reshape(3, nb, B), 1, 0),
+            rd3=jnp.moveaxis(c_rd[:, order].reshape(3, nb, B), 1, 0),
+            weight=c_w[order].reshape(nb, B),
+            pix=queue.pix.reshape(q)[order].reshape(nb, B),
         ), accum3
 
-    # Two candidate children per ray -> stable top-Q by weight.
+    # Two candidate children per ray -> stable top-Q, Morton-ordered:
+    # active paths sort by origin Z-curve key (spatially coherent ray
+    # tiles for the next bounce's intersection kernel), inactive lanes
+    # sort last so a drop (counted below, asserted zero by the golden
+    # suite) never displaces an active path for an inactive one.
     def flat3(a):  # (nb, 3, B) -> (3, Q)
         return jnp.moveaxis(a, 0, 1).reshape(3, q)
 
@@ -728,7 +763,10 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
     cand_pix = jnp.concatenate([pix_flat, pix_flat])
     cand_w = jnp.where(cand_w > min_w, cand_w, 0.0)
 
-    order = jnp.argsort(-jax.lax.stop_gradient(cand_w), stable=True)[:q]
+    key = jnp.where(
+        cand_w > min_w, morton_key(cand_ro.T), jnp.uint32(0xFFFFFFFF)
+    )
+    order = jnp.argsort(key, stable=True)[:q]
     kept_w = cand_w[order]
     # Drop accounting: active candidates beyond the queue capacity.
     n_active = jnp.sum((cand_w > min_w).astype(jnp.float32))

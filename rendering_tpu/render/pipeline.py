@@ -61,13 +61,16 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
         stats["rays_casted"] = jnp.asarray(w * h, jnp.float32)
     else:
         weight = jnp.ones((w * h,), jnp.float32)
-        if st.any_transparent:
+        if st.any_bouncing:
             accum3, stats = integrate(
                 scene, ro, rd, pix, weight, n_pixels=w * h,
                 ray_block=ray_block,
             )
             frame3 = accum3.reshape(3, h, w)
         else:
+            # No bouncing: slots stay pixel-aligned for the whole
+            # loop, so radiance accumulates per slot (no pixel
+            # scatter) and one transpose undoes the tile order.
             slots3, stats = integrate(
                 scene, ro, rd, pix, weight, n_pixels=w * h,
                 ray_block=ray_block, out_slots=True,
@@ -181,16 +184,13 @@ def derive_mesh_tables(scene):
 
 
 def scene_ray_block(scene, ray_block: int = DEFAULT_RAY_BLOCK) -> int:
-    """Scene-aware block size: many-chunk meshes keep 64k-ray blocks so
-    the oracle's per-tile SMEM order tables (n_tiles x chunks ints,
-    doubled by the batched shadow query) stay within the 1MB budget;
-    small scenes take 128k blocks (fewer bounce-map iterations). Shared
-    by every render entry point (render_scene, render_resumable,
-    parallel.shard.render_scene_sharded)."""
-    if ray_block == DEFAULT_RAY_BLOCK and any(
-        ms.n_tris > 65536 for ms in scene.static.meshes
-    ):
-        return DEFAULT_RAY_BLOCK // 2
+    """Scene-aware block size hook, shared by every render entry point
+    (render_scene, render_resumable, parallel.shard renderers).
+    Historical note: the round-1 kernel needed 64k blocks on many-chunk
+    meshes to keep its (n_tiles x chunks) SMEM order tables within the
+    1MB budget; the pair-compacted kernel's tables are O(live pairs),
+    so every scene takes the full default block now (fewer oracle
+    calls, better fixed-cost amortization)."""
     return ray_block
 
 
