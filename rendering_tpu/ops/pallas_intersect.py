@@ -109,17 +109,20 @@ def _kernel(
     # last dim of every prefetch operand to 128 elements, so 2-D
     # (rows, small) layouts waste 128/small x the budget.
     ptile_ref,   # (S,) i32 — ray-tile index of step s. Steps are
-                 # grouped by tile; within a tile the chunk visit order
-                 # is live-first near-to-far (from the tile's ray
+                 # grouped by tile; within a tile the SUPER-chunk visit
+                 # order is live-first near-to-far (from the tile's ray
                  # origin centroid). The dead tail repeats the last
                  # pair (same block indices -> Mosaic skips the DMA;
                  # the live flag skips the compute).
-    pchunk_ref,  # (S,) i32 — chunk id of step s
+    psuper_ref,  # (S,) i32 — super-chunk id of step s
     plive_ref,   # (S,) i32 — 1 if step s computes (0: init-only/tail)
-    cbox_ref,    # (C*8,) — per-chunk AABB rows [lo xyz, hi xyz, 0, 0]
+    cbox_ref,    # (C*8,) — per CULL-chunk AABB rows [lo xyz, hi xyz,
+                 # 0, 0]; C = Cs * n_sub, padded chunks hold inverted
+                 # boxes (always culled)
     # VMEM blocks
-    tri_ref,     # (16, Tc) VMEM — rows [v0 xyz, e1 xyz, e2 xyz,
-                 #                       reach_lo xyz, reach_hi xyz, 0]
+    tri_ref,     # (16, n_sub*Tc) VMEM — one SUPER chunk: n_sub cull
+                 # chunks side by side, rows [v0 xyz, e1 xyz, e2 xyz,
+                 #                            reach_lo xyz, reach_hi xyz, 0]
     aux_ref,     # (16, BR) VMEM — rays of tile ptile[s]:
                  #                 rows [ro xyz, rd xyz, 1/rd xyz, t0]
     t_ref,       # (1, BR) VMEM out — running best t (-1 = done, any-hit)
@@ -127,14 +130,14 @@ def _kernel(
     stats_ref,   # (1, 2) i32 SMEM out — [tri_tests, box_tests]
     *,
     tc: int,
+    n_sub: int,
     backface_culling: bool,
     use_root_filter: bool,
     anyhit: bool,
     collect_stats: bool,
 ):
     s = pl.program_id(0)
-    chunk = pchunk_ref[s]
-    base = chunk * tc
+    sup = psuper_ref[s]
 
     @pl.when(s == 0)
     def _init_stats():
@@ -151,25 +154,32 @@ def _kernel(
 
     @pl.when(plive_ref[s] == 1)
     def _step():
-        # Slice the lane (ray) axis so the (Tc, BR_sub) Moller-Trumbore
-        # temporaries stay within Mosaic's 16MB scoped-VMEM stack even
-        # at the fallback's wide ray tiles.
+        # Two-level descent inside one grid step: the grid/DMA unit is
+        # the SUPER chunk (n_sub cull chunks, spatially contiguous in
+        # Morton order), each cull chunk re-culled per ray before its
+        # Moller-Trumbore — many sub-chunks per ~1us grid step
+        # amortizes Mosaic's per-step sequencing, and the XLA pre-pass
+        # only pays super-granularity work. The lane (ray) axis is
+        # additionally sliced so (Tc, lanes) temporaries stay within
+        # Mosaic's 16MB scoped-VMEM stack at the fallback's wide tiles.
         br = aux_ref.shape[1]
-        sub = min(br, _MAX_COMPUTE_LANES)
-        for k in range(br // sub):
-            _cull_and_intersect(
-                tri_ref, aux_ref.at[:, k * sub : (k + 1) * sub],
-                cbox_ref, t_ref.at[:, k * sub : (k + 1) * sub],
-                tri_out_ref.at[:, k * sub : (k + 1) * sub], stats_ref,
-                chunk, base, tc=tc, backface_culling=backface_culling,
-                use_root_filter=use_root_filter, anyhit=anyhit,
-                collect_stats=collect_stats,
-            )
+        lanes = min(br, _MAX_COMPUTE_LANES)
+        for k in range(br // lanes):
+            for j in range(n_sub):
+                _cull_and_intersect(
+                    tri_ref, aux_ref.at[:, k * lanes : (k + 1) * lanes],
+                    cbox_ref, t_ref.at[:, k * lanes : (k + 1) * lanes],
+                    tri_out_ref.at[:, k * lanes : (k + 1) * lanes],
+                    stats_ref, sup * n_sub + j, j * tc,
+                    tc=tc, backface_culling=backface_culling,
+                    use_root_filter=use_root_filter, anyhit=anyhit,
+                    collect_stats=collect_stats,
+                )
 
 
 def _cull_and_intersect(
     tri_ref, aux_ref, cbox_ref, t_ref, tri_out_ref, stats_ref, chunk,
-    base, *, tc, backface_culling, use_root_filter, anyhit,
+    col0, *, tc, backface_culling, use_root_filter, anyhit,
     collect_stats,
 ):
     # Chunk-level cull: a triangle in this chunk can only be accepted if
@@ -205,15 +215,15 @@ def _cull_and_intersect(
                 live.astype(jnp.int32)
             )
         _intersect_chunk(
-            tri_ref, aux_ref, t_ref, tri_out_ref, base, tc=tc,
-            backface_culling=backface_culling,
+            tri_ref, aux_ref, t_ref, tri_out_ref, chunk * tc, col0,
+            tc=tc, backface_culling=backface_culling,
             use_root_filter=use_root_filter, anyhit=anyhit,
         )
 
 
 def _intersect_chunk(
-    tri_ref, aux_ref, t_ref, tri_out_ref, base, *, tc, backface_culling,
-    use_root_filter, anyhit,
+    tri_ref, aux_ref, t_ref, tri_out_ref, base, col0, *, tc,
+    backface_culling, use_root_filter, anyhit,
 ):
     # Direct Moller-Trumbore on the VPU, (Tc, BR) pair block.
     # Bit-identical f32 sequence to ops.intersect.ray_triangle
@@ -223,8 +233,8 @@ def _intersect_chunk(
     # lanes as (Tc, 1) columns; per-ray values along sublanes as
     # (1, BR) rows. Zero-padded triangles fail the det epsilon in both
     # culling modes, so no lane-validity mask is needed.
-    def tri_col(r):  # table row -> (Tc, 1)
-        return tri_ref[r : r + 1, :].T
+    def tri_col(r):  # table row, this cull chunk's window -> (Tc, 1)
+        return tri_ref[r : r + 1, col0 : col0 + tc].T
 
     def ray_row(r):  # aux row -> (1, BR)
         return aux_ref[r : r + 1, :]
@@ -306,22 +316,25 @@ class IntersectTables:
     topology is stop_gradient'd anyway, and accepted hits are
     re-evaluated from live vertices)."""
 
-    def __init__(self, tri_chunk, use_root_filter, perm, tri, cbox):
-        self.tri_chunk = tri_chunk
+    def __init__(self, tri_chunk, n_sub, use_root_filter, perm, tri,
+                 cbox, sbox):
+        self.tri_chunk = tri_chunk   # cull-chunk triangles (Tc)
+        self.n_sub = n_sub           # cull chunks per super (DMA) chunk
         self.use_root_filter = use_root_filter
         self.perm = perm      # (T,) i32 or None
-        self.tri = tri        # (C, 16, Tc)
-        self.cbox = cbox      # (C, 8)
+        self.tri = tri        # (Cs, 16, n_sub*Tc)
+        self.cbox = cbox      # (Cs*n_sub, 8) cull-chunk AABBs
+        self.sbox = sbox      # (Cs, 8) super-chunk AABBs (pre-pass)
 
     def tree_flatten(self):
         return (
-            (self.perm, self.tri, self.cbox),
-            (self.tri_chunk, self.use_root_filter),
+            (self.perm, self.tri, self.cbox, self.sbox),
+            (self.tri_chunk, self.n_sub, self.use_root_filter),
         )
 
     @classmethod
     def tree_unflatten(cls, static, dyn):
-        return cls(static[0], static[1], *dyn)
+        return cls(static[0], static[1], static[2], *dyn)
 
 
 jax.tree_util.register_pytree_node(
@@ -332,14 +345,27 @@ jax.tree_util.register_pytree_node(
 
 
 def default_tri_chunk(n_tris: int) -> int:
-    """Chunk-size policy: tight chunks (few triangles -> tight AABBs ->
-    few live pairs) while keeping the chunk count C <= ~2048 so the
-    per-chunk AABB table fits the prefetch SMEM budget (C x 32 B per
-    kernel instance of the fused program)."""
+    """Cull-chunk-size policy: tight chunks (few triangles -> tight
+    AABBs -> little wasted Moller-Trumbore work) while keeping the
+    chunk count C <= ~2048 so the per-chunk AABB table fits the
+    prefetch SMEM budget (C x 32 B per kernel instance of the fused
+    program; at 64-triangle chunks a 262k-triangle mesh is ~4096
+    chunks = 128KB of cbox SMEM per instance)."""
     tc = 64
-    while -(-n_tris // tc) > 2048:
+    while -(-n_tris // tc) > 4096:
         tc *= 2
     return min(tc, 2048)
+
+
+# Cull chunks per SUPER chunk — the grid/DMA/pre-pass unit. Each grid
+# step costs ~1us of Mosaic sequencing regardless of work, and the XLA
+# pre-pass pays per (tile, super): grouping n_sub Morton-contiguous
+# cull chunks per step amortizes both while the in-kernel per-sub cull
+# keeps the Moller-Trumbore work as tight as chunk-level culling.
+# Measured on the 250k flagship (v5e): 64-tri cull chunks in supers of
+# 8 beat the flat 128-tri single-level kernel by ~15% on both closest
+# and any-hit; supers of 16 lose it again (unguarded sub-cull slabs).
+DEFAULT_SUB_PER_SUPER = 8
 
 
 def build_intersect_tables(
@@ -355,6 +381,9 @@ def build_intersect_tables(
     if T == 0:
         return None
     n_chunks = -(-T // tri_chunk)
+    n_sub = min(DEFAULT_SUB_PER_SUPER, n_chunks)
+    n_super = -(-n_chunks // n_sub)
+    n_chunks = n_super * n_sub           # pad to whole supers
     t_pad = n_chunks * tri_chunk - T
 
     perm = getattr(mesh, "morton_perm", None)
@@ -376,7 +405,7 @@ def build_intersect_tables(
     ).astype(np.float32)  # (T, 16)
     rows = np.pad(rows, ((0, t_pad), (0, 0)))
     tri = np.ascontiguousarray(
-        rows.reshape(n_chunks, tri_chunk, 16).transpose(0, 2, 1)
+        rows.reshape(n_super, n_sub * tri_chunk, 16).transpose(0, 2, 1)
     )
 
     # Chunk AABBs for the tile pre-cull and the in-kernel cull: union
@@ -390,18 +419,23 @@ def build_intersect_tables(
                    constant_values=_FMAX)
     ub_hi = np.pad(v.max(axis=1), ((0, t_pad), (0, 0)),
                    constant_values=-_FMAX)
+    clo = ub_lo.reshape(n_chunks, tri_chunk, 3).min(axis=1)
+    chi = ub_hi.reshape(n_chunks, tri_chunk, 3).max(axis=1)
     cbox = np.concatenate(
+        [clo, chi, np.zeros((n_chunks, 2), np.float32)], axis=1
+    ).astype(np.float32)  # (C, 8); padded chunks hold inverted boxes
+    sbox = np.concatenate(
         [
-            ub_lo.reshape(n_chunks, tri_chunk, 3).min(axis=1),
-            ub_hi.reshape(n_chunks, tri_chunk, 3).max(axis=1),
-            np.zeros((n_chunks, 2), np.float32),
+            clo.reshape(n_super, n_sub, 3).min(axis=1),
+            chi.reshape(n_super, n_sub, 3).max(axis=1),
+            np.zeros((n_super, 2), np.float32),
         ],
         axis=1,
-    ).astype(np.float32)  # (C, 8)
+    ).astype(np.float32)  # (Cs, 8)
     return IntersectTables(
-        tri_chunk, use_root_filter,
+        tri_chunk, n_sub, use_root_filter,
         None if perm is None else jnp.asarray(perm),
-        jnp.asarray(tri), jnp.asarray(cbox),
+        jnp.asarray(tri), jnp.asarray(cbox), jnp.asarray(sbox),
     )
 
 
@@ -486,16 +520,16 @@ def _pair_tables(torder, counts, S: int):
 
 
 def _pallas_call(
-    ptile, pchunk, plive, cbox, tri, aux, rp, *, ray_tile, tc,
+    ptile, psuper, plive, cbox, tri, aux, rp, *, ray_tile, tc, n_sub,
     kernel_kw, interpret,
 ):
     S = ptile.shape[0]
-    kernel = functools.partial(_kernel, tc=tc, **kernel_kw)
+    kernel = functools.partial(_kernel, tc=tc, n_sub=n_sub, **kernel_kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((None, 16, tc),
+            pl.BlockSpec((None, 16, n_sub * tc),
                          lambda s, pt, pc, pv, cb: (pc[s], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, ray_tile),
@@ -522,7 +556,7 @@ def _pallas_call(
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ],
         interpret=interpret,
-    )(ptile, pchunk, plive, cbox.reshape(-1), tri, aux)
+    )(ptile, psuper, plive, cbox.reshape(-1), tri, aux)
 
 
 def bruteforce_mesh_pallas(
@@ -574,18 +608,19 @@ def bruteforce_mesh_pallas(
         tri_chunk = tables.tri_chunk
         assert tables.use_root_filter == use_root_filter
     tb = tables
-    n_chunks = -(-T // tri_chunk)
+    n_sub = tb.n_sub
+    n_super = tb.sbox.shape[0]
     perm = tb.perm
 
     if ray_tile is None:
         ray_tile = DEFAULT_RAY_TILE
     n_tiles = -(-R // ray_tile)
     rp = n_tiles * ray_tile
-    # The dense fallback needs static capacity for EVERY (tile, chunk)
+    # The dense fallback needs static capacity for EVERY (tile, super)
     # pair; if that table would strain SMEM at the fine tiling, the
     # fallback re-tiles coarsely (<= 16 wide tiles, lane-sliced in the
     # kernel), and the ray padding must accommodate both tilings.
-    fine_fb_ok = n_tiles * n_chunks * 12 <= 200_000
+    fine_fb_ok = n_tiles * n_super * 12 <= 200_000
     if not fine_fb_ok:
         m = -(-rp // _FALLBACK_RAY_TILE)
         nt_fb = min(16, m)
@@ -615,7 +650,7 @@ def bruteforce_mesh_pallas(
     ro_t = sg(ro_p).reshape(n_tiles, ray_tile, 3)
     inv_t = sg(1.0 / rd_p).reshape(n_tiles, ray_tile, 3)
     t0_t = sg(t0).reshape(n_tiles, ray_tile)
-    torder, counts, total = _tile_tables(ro_t, inv_t, t0_t, tb.cbox)
+    torder, counts, total = _tile_tables(ro_t, inv_t, t0_t, tb.sbox)
 
     kernel_kw = dict(
         backface_culling=backface_culling,
@@ -625,7 +660,8 @@ def bruteforce_mesh_pallas(
     )
     call = functools.partial(
         _pallas_call, cbox=tb.cbox, tri=tb.tri, aux=aux, rp=rp,
-        tc=tri_chunk, kernel_kw=kernel_kw, interpret=interpret,
+        tc=tri_chunk, n_sub=n_sub, kernel_kw=kernel_kw,
+        interpret=interpret,
     )
 
     def bucket_call(s_cap):
@@ -634,26 +670,26 @@ def bruteforce_mesh_pallas(
 
     if fine_fb_ok:
         def fallback_call():
-            return bucket_call(n_tiles * n_chunks)
+            return bucket_call(n_tiles * n_super)
     else:
         def fallback_call():
             # Always-correct all-pairs capacity at a coarse tiling
-            # (<= 16 wide tiles keep the (nt_fb * C) tables in SMEM).
+            # (<= 16 wide tiles keep the (nt_fb * Cs) tables in SMEM).
             nt_fb = rp // fb_tile
             to_fb, ct_fb, _ = _tile_tables(
                 sg(ro_p).reshape(nt_fb, fb_tile, 3),
                 sg(1.0 / rd_p).reshape(nt_fb, fb_tile, 3),
                 sg(t0).reshape(nt_fb, fb_tile),
-                tb.cbox,
+                tb.sbox,
             )
-            pt, pc, pv = _pair_tables(to_fb, ct_fb, nt_fb * n_chunks)
+            pt, pc, pv = _pair_tables(to_fb, ct_fb, nt_fb * n_super)
             return call(pt, pc, pv, ray_tile=fb_tile)
 
     buckets = [
-        m * n_tiles for m in _S_BUCKETS if m * n_tiles < n_tiles * n_chunks
+        m * n_tiles for m in _S_BUCKETS if m * n_tiles < n_tiles * n_super
     ]
     if not buckets:
-        t_out, tri_out, stats = bucket_call(n_tiles * n_chunks)
+        t_out, tri_out, stats = bucket_call(n_tiles * n_super)
     else:
         def make_branch(s_cap, inner):
             return lambda: jax.lax.cond(
