@@ -228,6 +228,20 @@ def build_scene(sd: SceneDef) -> SceneData:
             m = o.mesh
             if m is None:
                 raise ValueError("mesh object without loaded OBJ (missing name=)")
+            # Canonicalize triangle order to the Morton (Z-curve)
+            # permutation at build: the intersection kernel's chunk
+            # tables need spatial contiguity, and storing EVERYTHING in
+            # that order removes a 250k-entry id-remap gather per
+            # oracle call. BVH node geometry is order-independent
+            # (splits are coordinate searches over bounds), so goldens
+            # and AC counts are unaffected; only equal-t tie-breaks can
+            # shift, same caveat as the reference's leaf-DFS order.
+            if m.n_tris:
+                mp = np.asarray(morton_order(m.v))
+                m = dataclasses.replace(
+                    m, v=m.v[mp], n=m.n[mp], uv=m.uv[mp],
+                    tangent=m.tangent[mp], bitangent=m.bitangent[mp],
+                )
             bvh: FlatBVH = build_bvh(
                 m.v, m.root_bounds, ac_penalty=st.ac_penalty,
                 leaf_chunk=st.leaf_chunk,
@@ -274,7 +288,7 @@ def build_scene(sd: SceneDef) -> SceneData:
                         if o.specular_map is not None
                         else None
                     ),
-                    morton_perm=jnp.asarray(morton_order(m.v)),
+                    morton_perm=None,  # arrays already Morton-ordered
                     leaf_chunk=st.leaf_chunk,
                     clipped_by_root=clipped,
                 )
@@ -296,7 +310,7 @@ def build_scene(sd: SceneDef) -> SceneData:
                 v=m.v,
                 reach_lo=bvh.reach_lo,
                 reach_hi=bvh.reach_hi,
-                morton_perm=np.asarray(morton_order(m.v)),
+                morton_perm=None,  # arrays already Morton-ordered
             )
             meshes[-1] = dataclasses.replace(
                 meshes[-1],
