@@ -23,6 +23,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="TPU-native raytracer")
     p.add_argument("scene", nargs="?", default="input/simple_shapes.scene")
     p.add_argument("--output", default=None, help="override output path")
+    p.add_argument(
+        "--trace-dir", default=None,
+        help="capture a jax.profiler device trace of the render phase "
+             "into this directory (SURVEY §5.1 TPU profiling)",
+    )
     args = p.parse_args(argv)
 
     total = Timer("Total time")
@@ -34,14 +39,27 @@ def main(argv=None) -> int:
     t_load.stop()
 
     t_render = Timer("Render scene", settings.enable_output)
-    if settings.output_progress and not settings.show_ac:
-        # outputProgress (src/scene.cpp:486-492): strip-rendered frame
-        # with once-per-second percentage prints; bit-identical output.
-        from rendering_tpu.render.pipeline import render_with_progress
 
-        frame, aux = render_with_progress(scene)
+    def _render():
+        if settings.output_progress and not settings.show_ac:
+            # outputProgress (src/scene.cpp:486-492): strip-rendered
+            # frame with once-per-second percentage prints;
+            # bit-identical output.
+            from rendering_tpu.render.pipeline import render_with_progress
+
+            return render_with_progress(scene)
+        return render(scene)
+
+    if args.trace_dir:
+        import jax
+
+        from rendering_tpu.utils.profiling import trace
+
+        with trace(args.trace_dir):
+            frame, aux = _render()
+            jax.block_until_ready(aux)
     else:
-        frame, aux = render(scene)
+        frame, aux = _render()
     t_render.stop()
 
     if settings.collect_statistics:

@@ -38,24 +38,101 @@ class SceneError(RuntimeError):
     """Raised where the reference would LOG_ERROR() and exit(-1)."""
 
 
-def _to_bool(s: str) -> bool:
-    return bool(_to_int(s))
-
-
-def _to_int(s: str) -> int:
-    t = s.strip()
-    try:
-        return int(t)
-    except ValueError as e:
-        raise SceneError(f"bad int: {s!r}") from e
+# Value conversion replicates C++ `stringstream >> x` + the
+# `if (!ss.eof() && !ss.good()) LOG_ERROR()` check (util.h:41-67),
+# which is NOT Python's int()/float(). Semantics pinned empirically
+# against g++/libstdc++ (the reference's own toolchain; probe programs
+# in the round-2 history):
+#   * leading whitespace skipped; num_get consumes the longest chain
+#     the float grammar can EXTEND, trailing junk is ignored
+#     ("1_0" -> 1, "1.5abc" -> 1.5, "1.2.3" -> 1.2);
+#   * empty/whitespace-only -> 0 WITHOUT error (extraction fails at
+#     eof, so the !eof check passes);
+#   * stopping in an INCOMPLETE grammar state ("+", ".", "1e", "1e+",
+#     "1.e") errors IF input remains ("+a", ".x", "1ex", "1e+x"),
+#     but yields 0 at end-of-string ("-", "1e", "1e-" -> 0.0);
+#   * "inf"/"nan" are NOT in num_get's grammar -> error;
+#   * hex forms are consumed but never convert: "0x1p3"/"0x10" -> 0.0
+#     ("-0x2" -> -0.0), junk after the hex body is ignored ("0xg").
 
 
 def _to_float(s: str) -> float:
-    t = s.strip()
-    try:
-        return float(t)
-    except ValueError as e:
-        raise SceneError(f"bad float: {s!r}") from e
+    t = s.lstrip()
+    if not t:
+        return 0.0
+    i, n = 0, len(t)
+    sign = 1.0
+    if t[i] in "+-":
+        sign = -1.0 if t[i] == "-" else 1.0
+        i += 1
+    # hex accumulation: consumed but conversion always fails -> +-0.0
+    if t[i : i + 2] in ("0x", "0X"):
+        i += 2
+        while i < n and (t[i] in "0123456789abcdefABCDEF."):
+            i += 1
+        if i < n and t[i] in "pP":
+            i += 1
+            if i < n and t[i] in "+-":
+                i += 1
+            j = i
+            while i < n and t[i].isdigit():
+                i += 1
+            if i == j and i < n:  # incomplete p-exponent, junk next
+                raise SceneError(f"bad float: {s!r}")
+        return sign * 0.0
+    had_digits = False
+    while i < n and t[i].isdigit():
+        had_digits = True
+        i += 1
+    if i < n and t[i] == ".":
+        i += 1
+        while i < n and t[i].isdigit():
+            had_digits = True
+            i += 1
+    if not had_digits:
+        # only sign and/or '.' consumed: incomplete state
+        if i < n:
+            raise SceneError(f"bad float: {s!r}")
+        return sign * 0.0
+    mant_end = i
+    if i < n and t[i] in "eE":
+        i += 1
+        if i < n and t[i] in "+-":
+            i += 1
+        j = i
+        while i < n and t[i].isdigit():
+            i += 1
+        if i == j:
+            if i < n:  # "1ex"/"1e+x": incomplete exponent, junk next
+                raise SceneError(f"bad float: {s!r}")
+            return sign * 0.0  # "1e"/"1e+" at end: conversion fails
+        return float(t[:i])
+    return float(t[:mant_end])
+
+
+def _to_int(s: str) -> int:
+    t = s.lstrip()
+    if not t:
+        return 0
+    i, n = 0, len(t)
+    if t[i] in "+-":
+        i += 1
+    j = i
+    while i < n and t[i].isdigit():
+        i += 1
+    if i == j:
+        # sign-only or no digits: incomplete; junk remaining errors
+        if i < n:
+            raise SceneError(f"bad int: {s!r}")
+        return 0
+    return int(t[:i])
+
+
+def _to_bool(s: str) -> bool:
+    # stream bool extraction parses an integer; any nonzero stores
+    # true (out-of-range sets failbit only after the number is fully
+    # consumed, i.e. at eof -> the reference's check still passes).
+    return bool(_to_int(s))
 
 
 def _to_vec3(s: str) -> tuple[float, float, float]:

@@ -64,6 +64,28 @@ def test_cli_stats_table_and_output(tmp_path, capsys):
     assert int(rays.split()[-1]) >= 64 * 48
 
 
+def test_cli_trace_dir_captures_profile(tmp_path, capsys):
+    """--trace-dir wraps the render phase in a jax.profiler trace
+    (SURVEY §5.1's TPU profiling equivalent) and leaves an .xplane.pb
+    capture behind."""
+    from rendering_tpu.cli import main
+    from rendering_tpu.utils.profiling import find_xplanes
+
+    scene_path = tmp_path / "cli_smoke.scene"
+    scene_path.write_text(SCENE.format(progress=0))
+    out_path = tmp_path / "out.bmp"
+    trace_dir = tmp_path / "trace"
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = main([str(scene_path), "--output", str(out_path),
+                   "--trace-dir", str(trace_dir)])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    assert find_xplanes(str(trace_dir)), "no xplane capture written"
+
+
 def test_cli_progress_path_identical(tmp_path, capsys):
     out0, img0 = _run(tmp_path, capsys, progress=0)
     out1, img1 = _run(tmp_path, capsys, progress=1)

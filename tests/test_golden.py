@@ -48,6 +48,27 @@ SCENES = [
 # root-box clipping on rotated meshes (isolated mesh-edge pixels).
 DEFAULT_TOL = (0.006, 0.005, 0.001)
 
+# Per-scene budgets: ~3x the fractions measured against the committed
+# goldens (CPU and TPU agree to ~1e-5), capped at DEFAULT_TOL — so a
+# shading-level bug confined to well under 0.5% of pixels still fails
+# on the scenes where parity is currently much tighter (a round-1
+# review point: blanket fraction budgets hid that headroom).
+SCENE_TOL = {
+    "t01_simple_shapes":  (0.0009, 0.0008, 0.0002),
+    "t02_teapot_diffuse": (0.0013, 0.0013, 0.0003),
+    "t03_cow_textured":   (0.0006, 0.0005, 0.0002),
+    "t04_skybox":         (0.0002, 0.0002, 0.0002),
+    "t05_area":           (0.0002, 0.0002, 0.0002),
+    "t06_backface_off":   (0.0014, 0.0011, 0.0002),
+    "t07_no_ac":          (0.0002, 0.0002, 0.0002),
+    "t08_shownormals":    (0.0007, 0.0006, 0.0003),
+    "t09_showac":         (0.0060, 0.0012, 0.0007),
+    "t10_shotgun":        (0.0027, 0.0027, 0.0010),
+    "t11_sphere_smooth":  (0.0060, 0.0050, 0.0010),
+    "t12_bunny_multi":    (0.0047, 0.0043, 0.0010),
+    "t13_reflective_full": (0.0002, 0.0002, 0.0002),
+}
+
 
 def _pool3(img, op):
     """3x3 max/min pooling via shifted stacking (no scipy needed)."""
@@ -97,7 +118,7 @@ def test_golden_t13_reflective_full(in_workspace):
     assert ours.shape == gold.shape
     diff = np.abs(ours.astype(np.int16) - gold.astype(np.int16))
     inner = diff[1:-1, 1:-1]
-    tol1, tol8, tolv = DEFAULT_TOL
+    tol1, tol8, tolv = SCENE_TOL["t13_reflective_full"]
     assert float((inner > 1).mean()) <= tol1
     assert float((inner > 8).mean()) <= tol8
     viol = neighborhood_violations(ours, gold)[1:-1, 1:-1]
@@ -118,7 +139,7 @@ def test_golden(name, in_workspace):
     frac_gt8 = float((inner > 8).mean())
     viol = neighborhood_violations(ours, gold)[1:-1, 1:-1]
     frac_viol = float(viol.mean())
-    tol1, tol8, tolv = DEFAULT_TOL
+    tol1, tol8, tolv = SCENE_TOL.get(name, DEFAULT_TOL)
     assert frac_gt1 <= tol1, f"{name}: {frac_gt1:.4%} interior pixels differ >1"
     assert frac_gt8 <= tol8, f"{name}: {frac_gt8:.4%} interior pixels differ >8"
     assert frac_viol <= tolv, (

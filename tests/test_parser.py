@@ -155,3 +155,40 @@ def test_legacy_scene_format_rejected_like_reference():
         pytest.skip("reference assets not mounted")
     with pytest.raises(SceneError):
         parse_scene(path)
+
+
+def test_stream_number_semantics():
+    """Value parsing matches C++ `stringstream >>` + the util.h:41-67
+    error check, pinned against a g++ probe of the reference's own
+    helpers (NOT Python float()/int() semantics)."""
+    import math
+
+    from rendering_tpu.models.parser import _to_float, _to_int
+
+    ok = {
+        "1_0": 1.0, "1.5abc": 1.5, "": 0.0, " ": 0.0, "0x1p3": 0.0,
+        "0x10": 0.0, "0xg": 0.0, "1e": 0.0, "1e+": 0.0, "1e-": 0.0,
+        "1.e": 0.0, ".5": 0.5, "-.5": -0.5, "+3": 3.0, "1e+5": 1e5,
+        "1e-3": 1e-3, "1.e2": 100.0, "1.2.3": 1.2, "1..2": 1.0,
+        "1x": 1.0, "+.": 0.0, "-": 0.0, ".": 0.0, "3.x": 3.0,
+        "1,5": 1.0, "2.5e0abc": 2.5, "+.5": 0.5, "1+2": 1.0,
+        "00x1": 0.0, "1e5x": 1e5,
+    }
+    for s, want in ok.items():
+        got = _to_float(s)
+        assert got == want and not math.isnan(got), (s, got, want)
+    assert math.copysign(1.0, _to_float("-0x2")) == -1.0  # -0.0
+
+    for s in ("abc", "inf", "INF", "nan", "+a", "-x", ".x", "1ex",
+              "1e+x", "1e-x", "1.ex", "+e5", "e5", "..5", "+-3"):
+        with pytest.raises(SceneError):
+            _to_float(s)
+
+    assert _to_int("1_0") == 1
+    assert _to_int("1.5") == 1
+    assert _to_int("") == 0
+    assert _to_int("0x10") == 0
+    assert _to_int("12junk") == 12
+    assert _to_int("-") == 0
+    with pytest.raises(SceneError):
+        _to_int("abc")
