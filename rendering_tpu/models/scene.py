@@ -48,6 +48,11 @@ class MeshStatic:
     dmap_wh: tuple[int, int] = (0, 0)
     nmap_wh: tuple[int, int] = (0, 0)
     smap_wh: tuple[int, int] = (0, 0)
+    # Common (W, H) when >= 2 maps are present with identical dims:
+    # they share texel indices, so one 7-row gather (diffuse rgb |
+    # normal xyz | specular) replaces up to three per-map gathers —
+    # a TPU gather costs per-index, not per-row. (0, 0) = unpacked.
+    pmap_wh: tuple[int, int] = (0, 0)
 
     @property
     def has_diffuse_map(self) -> bool:
@@ -60,6 +65,10 @@ class MeshStatic:
     @property
     def has_specular_map(self) -> bool:
         return self.smap_wh[0] > 0
+
+    @property
+    def has_packed_maps(self) -> bool:
+        return self.pmap_wh[0] > 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,10 +139,15 @@ class MeshData:
     leaf_tris: jnp.ndarray   # (L,) i32
     diffuse_map: Optional[jnp.ndarray]   # (Hd*Wd, 3) or None
     normal_map: Optional[jnp.ndarray]    # (Hn*Wn, 3) or None
-    specular_map: Optional[jnp.ndarray]  # (Hs*Ws,) or None
+    specular_map: Optional[jnp.ndarray]  # (Hs*Ws, 1) or None
     # Spatial triangle permutation (accel.bvh.morton_order); the dense
     # Pallas kernel iterates triangles in this order for tight chunk
     # AABBs and maps hit ids back. All other arrays stay in load order.
+    # Packed transposed map table (7, Wp*Hp): rows 0-2 diffuse rgb,
+    # 3-5 normal xyz, 6 specular (zeros for absent maps). Derived
+    # IN-GRAPH from the per-map arrays by pipeline.derive_mesh_tables
+    # when MeshStatic.pmap_wh is set, so map-texel gradients flow.
+    mapsT: Optional[jnp.ndarray] = None
     morton_perm: Optional[jnp.ndarray] = None  # (T,) i32
     # Prebuilt kernel-format chunk tables (ops.pallas_intersect
     # .IntersectTables) — the baked acceleration structure for the
@@ -189,6 +203,22 @@ def _normalize_host(v):
     v = np.asarray(v, dtype=np.float32)
     l2 = float(np.sum(v * v))
     return v / np.sqrt(l2) if l2 > 0 else v
+
+
+def _packable_wh(o) -> tuple[int, int]:
+    """Shared (W, H) if >= 2 of the object's maps exist with identical
+    dims (they then share texel indices and one packed gather serves
+    all of them); (0, 0) otherwise."""
+    whs = []
+    if o.diffuse_map is not None:
+        whs.append(tuple(o.diffuse_map_wh))
+    if o.normal_map is not None:
+        whs.append(tuple(o.normal_map_wh))
+    if o.specular_map is not None:
+        whs.append(tuple(o.specular_map_wh))
+    if len(whs) >= 2 and all(wh == whs[0] for wh in whs):
+        return whs[0]
+    return (0, 0)
 
 
 def build_scene(sd: SceneDef) -> SceneData:
@@ -330,6 +360,7 @@ def build_scene(sd: SceneDef) -> SceneData:
                     dmap_wh=o.diffuse_map_wh if o.diffuse_map is not None else (0, 0),
                     nmap_wh=o.normal_map_wh if o.normal_map is not None else (0, 0),
                     smap_wh=o.specular_map_wh if o.specular_map is not None else (0, 0),
+                    pmap_wh=_packable_wh(o),
                 )
             )
         else:

@@ -34,12 +34,18 @@ Structure (TPU-first):
                tiles x chunks or tiles x worst-case-K. Overflow past
                the largest bucket falls back to all-pairs capacity
                (coarse-tiled when the fine tables would strain SMEM).
-  per step  -> re-cull the chunk AABB against the per-ray running t
+  per step  -> slab-test all n_sub cull-chunk AABBs of the super as
+               ONE (n_sub, BR) VPU batch (separate (1, BR) passes
+               waste 7/8 of each (8, 128) VPU granule), then re-check
+               each cull chunk against the per-ray running t
                (progressive pruning as hits are found); if any ray in
                the tile still qualifies, evaluate Moller-Trumbore for
                the (Tc, BR) pair block on the VPU with bit-exact
                ray_triangle f32 arithmetic, then the accept/min
                epilogue updates the running (t, tri) output block.
+               Cull boxes ride as a (n_sub, 8) VMEM block sharing the
+               super's block index (SMEM scalar tables would pay ~48
+               scalar reads per step).
 
 Two modes:
   * closest-hit (primary/bounce rays): running minimum + triangle id.
@@ -78,6 +84,7 @@ bit-identical to ray_triangle: same mul/sub/div f32 sequence.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,8 +103,15 @@ _FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 # at a wider ray tile (SMEM: its (n_tiles*C) tables must stay well
 # under the 1MB budget). Every grid step costs ~1us of Mosaic
 # sequencing even when dead, so the grid is sized by the work that
-# EXISTS, not by tiles x worst-case-K.
-_S_BUCKETS = (4, 16)
+# EXISTS, not by tiles x worst-case-K. The ladder has intermediate
+# rungs in the 4-16x range because that is where the flagship's real
+# totals land (measured 250k/3840x1080: primary closest 7-10.6x,
+# batched shadow any-hit 4.7-7.7x — a coarse (4, 16) ladder forced
+# both into the 16x bucket, all padding; repeated-index dead steps
+# cost ~0.3us each, so trimming the tail bought ~4% wall-clock).
+# Each rung is a separate Mosaic compile per mode, so the ladder stays
+# at 4 rungs (a 6-rung ladder doubled scene compile time for <1%).
+_S_BUCKETS = (4, 8, 12, 16)
 _FALLBACK_RAY_TILE = 4096
 # Widest lane slice a single (Tc, lanes) compute may use — bounds the
 # VPU temporaries (Mosaic's scoped-VMEM stack is 16MB).
@@ -116,18 +130,21 @@ def _kernel(
                  # the live flag skips the compute).
     psuper_ref,  # (S,) i32 — super-chunk id of step s
     plive_ref,   # (S,) i32 — 1 if step s computes (0: init-only/tail)
-    cbox_ref,    # (C*8,) — per CULL-chunk AABB rows [lo xyz, hi xyz,
-                 # 0, 0]; C = Cs * n_sub, padded chunks hold inverted
-                 # boxes (always culled)
     # VMEM blocks
     tri_ref,     # (16, n_sub*Tc) VMEM — one SUPER chunk: n_sub cull
                  # chunks side by side, rows [v0 xyz, e1 xyz, e2 xyz,
                  #                            reach_lo xyz, reach_hi xyz, 0]
+    cboxs_ref,   # (n_sub, 8) VMEM — this super's cull-chunk AABBs,
+                 # rows [lo xyz, hi xyz, 0, 0]; padded chunks hold
+                 # inverted boxes (always culled)
     aux_ref,     # (16, BR) VMEM — rays of tile ptile[s]:
                  #                 rows [ro xyz, rd xyz, 1/rd xyz, t0]
     t_ref,       # (1, BR) VMEM out — running best t (-1 = done, any-hit)
     tri_out_ref,  # (1, BR) VMEM out — running best triangle id
-    stats_ref,   # (1, 2) i32 SMEM out — [tri_tests, box_tests]
+    stats_ref=None,  # (1, 2) i32 SMEM out — [tri_tests, box_tests];
+                     # present ONLY when collect_stats (one fewer
+                     # per-step operand otherwise — each operand costs
+                     # index-map/bookkeeping time every grid step)
     *,
     tc: int,
     n_sub: int,
@@ -139,10 +156,11 @@ def _kernel(
     s = pl.program_id(0)
     sup = psuper_ref[s]
 
-    @pl.when(s == 0)
-    def _init_stats():
-        stats_ref[0, 0] = 0
-        stats_ref[0, 1] = 0
+    if collect_stats:
+        @pl.when(s == 0)
+        def _init_stats():
+            stats_ref[0, 0] = 0
+            stats_ref[0, 1] = 0
 
     prev_tile = ptile_ref[jnp.maximum(s - 1, 0)]
     first = (s == 0) | (ptile_ref[s] != prev_tile)
@@ -165,60 +183,73 @@ def _kernel(
         br = aux_ref.shape[1]
         lanes = min(br, _MAX_COMPUTE_LANES)
         for k in range(br // lanes):
-            for j in range(n_sub):
-                _cull_and_intersect(
-                    tri_ref, aux_ref.at[:, k * lanes : (k + 1) * lanes],
-                    cbox_ref, t_ref.at[:, k * lanes : (k + 1) * lanes],
-                    tri_out_ref.at[:, k * lanes : (k + 1) * lanes],
-                    stats_ref, sup * n_sub + j, j * tc,
-                    tc=tc, backface_culling=backface_culling,
-                    use_root_filter=use_root_filter, anyhit=anyhit,
-                    collect_stats=collect_stats,
-                )
+            sl = slice(k * lanes, (k + 1) * lanes)
+            _cull_and_intersect(
+                tri_ref, cboxs_ref, aux_ref.at[:, sl], t_ref.at[:, sl],
+                tri_out_ref.at[:, sl], stats_ref, sup,
+                tc=tc, n_sub=n_sub, backface_culling=backface_culling,
+                use_root_filter=use_root_filter, anyhit=anyhit,
+                collect_stats=collect_stats,
+            )
 
 
 def _cull_and_intersect(
-    tri_ref, aux_ref, cbox_ref, t_ref, tri_out_ref, stats_ref, chunk,
-    col0, *, tc, backface_culling, use_root_filter, anyhit,
+    tri_ref, cboxs_ref, aux_ref, t_ref, tri_out_ref, stats_ref, sup,
+    *, tc, n_sub, backface_culling, use_root_filter, anyhit,
     collect_stats,
 ):
-    # Chunk-level cull: a triangle in this chunk can only be accepted if
-    # the ray crosses the chunk's AABB at some t in [0, t_best) and the
-    # ray is not already resolved (any-hit done marker t_best < 0).
+    # Chunk-level cull: a triangle in a cull chunk can only be accepted
+    # if the ray crosses the chunk's AABB at some t in [0, t_best) and
+    # the ray is not already resolved (any-hit done marker t_best < 0).
     # Skipping the compute when no ray in the tile qualifies is pure
     # work pruning — the per-ray accept tests below are unchanged, so
     # results are identical. Comparisons are negated so a NaN slab
     # value (rd_c == 0 with origin on the box plane) keeps the chunk
     # live (conservative), never skips it.
-    t_run = t_ref[...]
-    ctmin = jnp.full(t_run.shape, -_FMAX, jnp.float32)
-    ctmax = jnp.full(t_run.shape, _FMAX, jnp.float32)
+    #
+    # The t-INDEPENDENT part of all n_sub slabs is evaluated as ONE
+    # (n_sub, BR) batch: eight separate (1, BR) passes each wasted 7/8
+    # of every (8, 128)-granule VPU op on empty sublanes. The
+    # t-dependent conditions re-read t_ref per sub chunk, preserving
+    # the progressive pruning (sub j+1 sees sub j's accepted hits /
+    # any-hit done marks) of the sequential formulation.
+    br = aux_ref.shape[1]
+    ctmin = jnp.full((n_sub, br), -_FMAX, jnp.float32)
+    ctmax = jnp.full((n_sub, br), _FMAX, jnp.float32)
     for c in range(3):
         ro_c = aux_ref[c : c + 1, :]
         inv_c = aux_ref[6 + c : 7 + c, :]
-        t1 = (cbox_ref[chunk * 8 + c] - ro_c) * inv_c
-        t2 = (cbox_ref[chunk * 8 + 3 + c] - ro_c) * inv_c
+        t1 = (cboxs_ref[:, c : c + 1] - ro_c) * inv_c      # (n_sub, BR)
+        t2 = (cboxs_ref[:, 3 + c : 4 + c] - ro_c) * inv_c
         ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
         ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
-    live = ~((ctmin > ctmax) | (ctmax < 0) | (ctmin >= t_run) | (t_run < 0))
+    live0 = ~((ctmin > ctmax) | (ctmax < 0))
     # The counter read-modify-writes serialize the scalar pipeline
     # (~3 us/step measured), so they compile in only when the caller
     # collects statistics — exactly the reference's collectStatistics
     # gate (include/stats.h: counters are no-ops unless enabled).
     if collect_stats:
-        stats_ref[0, 1] = stats_ref[0, 1] + t_run.shape[1]
+        stats_ref[0, 1] = stats_ref[0, 1] + n_sub * br
 
-    @pl.when(jnp.any(live))
-    def _compute():
-        if collect_stats:
-            stats_ref[0, 0] = stats_ref[0, 0] + tc * jnp.sum(
-                live.astype(jnp.int32)
-            )
-        _intersect_chunk(
-            tri_ref, aux_ref, t_ref, tri_out_ref, chunk * tc, col0,
-            tc=tc, backface_culling=backface_culling,
-            use_root_filter=use_root_filter, anyhit=anyhit,
+    for j in range(n_sub):
+        t_run = t_ref[...]
+        live = (
+            live0[j : j + 1, :]
+            & ~((ctmin[j : j + 1, :] >= t_run) | (t_run < 0))
         )
+
+        @pl.when(jnp.any(live))
+        def _compute(j=j, live=live):
+            if collect_stats:
+                stats_ref[0, 0] = stats_ref[0, 0] + tc * jnp.sum(
+                    live.astype(jnp.int32)
+                )
+            _intersect_chunk(
+                tri_ref, aux_ref, t_ref, tri_out_ref,
+                (sup * n_sub + j) * tc, j * tc,
+                tc=tc, backface_culling=backface_culling,
+                use_root_filter=use_root_filter, anyhit=anyhit,
+            )
 
 
 def _intersect_chunk(
@@ -346,13 +377,17 @@ jax.tree_util.register_pytree_node(
 
 def default_tri_chunk(n_tris: int) -> int:
     """Cull-chunk-size policy: tight chunks (few triangles -> tight
-    AABBs -> little wasted Moller-Trumbore work) while keeping the
-    chunk count C <= ~2048 so the per-chunk AABB table fits the
-    prefetch SMEM budget (C x 32 B per kernel instance of the fused
-    program; at 64-triangle chunks a 262k-triangle mesh is ~4096
-    chunks = 128KB of cbox SMEM per instance)."""
-    tc = 64
-    while -(-n_tris // tc) > 4096:
+    AABBs -> little wasted Moller-Trumbore work) while capping the
+    chunk count C <= ~4096: the XLA pre-pass and the per-tile SMEM
+    order tables scale with the SUPER count C / n_sub, and finer
+    chunks stopped paying for themselves on the 250k flagship (cull
+    boxes themselves ride in VMEM, so SMEM is no longer the binding
+    constraint)."""
+    tc = int(os.environ.get("RT_TRI_CHUNK", "64"))
+    # Cap SUPER count (the grid/pre-pass/order-table unit) at ~512:
+    # pre-cull work and pair tables scale with it, not with cull
+    # chunks (cull boxes ride in VMEM and the sub-cull is batched).
+    while -(-n_tris // (tc * DEFAULT_SUB_PER_SUPER)) > 512:
         tc *= 2
     return min(tc, 2048)
 
@@ -364,8 +399,11 @@ def default_tri_chunk(n_tris: int) -> int:
 # keeps the Moller-Trumbore work as tight as chunk-level culling.
 # Measured on the 250k flagship (v5e): 64-tri cull chunks in supers of
 # 8 beat the flat 128-tri single-level kernel by ~15% on both closest
-# and any-hit; supers of 16 lose it again (unguarded sub-cull slabs).
-DEFAULT_SUB_PER_SUPER = 8
+# and any-hit; with the SEQUENTIAL per-sub slabs of the first design,
+# supers of 16 lost it again, but the batched (n_sub, BR) cull made
+# finer sub chunks nearly free. Env knobs RT_TRI_CHUNK / RT_N_SUB
+# override for kernel-shape experiments (read once at import).
+DEFAULT_SUB_PER_SUPER = int(os.environ.get("RT_N_SUB", "8"))
 
 
 def build_intersect_tables(
@@ -506,8 +544,13 @@ def _pair_tables(torder, counts, S: int):
     starts = ends - counts0
     total = ends[-1]
     slot = jnp.arange(S, dtype=jnp.int32)
+    # method="compare_all" lowers to one dense (S, n_tiles) compare +
+    # row-sum; the default binary search becomes a vmap'd while loop
+    # on TPU (~0.5ms per call, ~17ms per 250k frame — measured).
     tile = jnp.clip(
-        jnp.searchsorted(ends, slot, side="right").astype(jnp.int32),
+        jnp.searchsorted(
+            ends, slot, side="right", method="compare_all"
+        ).astype(jnp.int32),
         0, n_tiles - 1,
     )
     j = slot - starts[tile]
@@ -524,39 +567,51 @@ def _pallas_call(
     kernel_kw, interpret,
 ):
     S = ptile.shape[0]
+    collect_stats = kernel_kw["collect_stats"]
     kernel = functools.partial(_kernel, tc=tc, n_sub=n_sub, **kernel_kw)
+    out_specs = [
+        pl.BlockSpec((1, ray_tile),
+                     lambda s, pt, pc, pv: (0, pt[s]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ray_tile),
+                     lambda s, pt, pc, pv: (0, pt[s]),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+    ]
+    if collect_stats:
+        out_specs.append(
+            pl.BlockSpec((1, 2), lambda s, pt, pc, pv: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((None, 16, n_sub * tc),
-                         lambda s, pt, pc, pv, cb: (pc[s], 0, 0),
+                         lambda s, pt, pc, pv: (pc[s], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_sub, 8),
+                         lambda s, pt, pc, pv: (pc[s], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, ray_tile),
-                         lambda s, pt, pc, pv, cb: (0, pt[s]),
+                         lambda s, pt, pc, pv: (0, pt[s]),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, ray_tile),
-                         lambda s, pt, pc, pv, cb: (0, pt[s]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_tile),
-                         lambda s, pt, pc, pv, cb: (0, pt[s]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda s, pt, pc, pv, cb: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        out_specs=out_specs,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, rp), jnp.int32),
-            jax.ShapeDtypeStruct((1, 2), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(ptile, psuper, plive, cbox.reshape(-1), tri, aux)
+    )(ptile, psuper, plive, tri, cbox.reshape(-1, n_sub, 8), aux)
+    if collect_stats:
+        return out
+    return out[0], out[1], jnp.zeros((1, 2), jnp.int32)
 
 
 def bruteforce_mesh_pallas(

@@ -26,3 +26,13 @@ def sample_map(flat_map, wh, tex):
     w, h = int(wh[0]), int(wh[1])
     idx = _map_index(tex[:, 0], tex[:, 1], w, h)
     return flat_map[idx]
+
+
+def sample_packed(mapsT, wh, tex):
+    """Gather all rows of a packed transposed map table at once.
+    mapsT: (rows, H*W); wh: (W, H) static; tex: (R, 2).
+    Returns (rows, R) — one gather serves every map sharing these
+    texel indices (a TPU gather costs per-index, not per-row)."""
+    w, h = int(wh[0]), int(wh[1])
+    idx = _map_index(tex[:, 0], tex[:, 1], w, h)
+    return mapsT[:, idx]

@@ -65,7 +65,7 @@ from rendering_tpu.ops.intersect import (
 )
 from rendering_tpu.ops.shading import fresnel, reflect, refract, spec_pow
 from rendering_tpu.ops.skybox import sample_skybox
-from rendering_tpu.ops.texture import sample_map
+from rendering_tpu.ops.texture import sample_map, sample_packed
 from rendering_tpu.ops.traversal import traverse_bvh
 
 # Rays per block of the bounce body (bounds every per-ray temporary).
@@ -348,14 +348,19 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
     return occluded, stats
 
 
-def surface_data(scene, hit: Hit, hit_point):
+def surface_data(scene, hit: Hit, hit_point, *, want_maps: bool = False):
     """Normal + texture coordinate at the hit (getSurfaceData
     implementations: mesh objects.cpp:121-151, sphere :788-796, plane
-    :816-824). Returns (normal (Q, 3), tex (Q, 2))."""
+    :816-824). Returns (normal (Q, 3), tex (Q, 2)); with
+    want_maps=True also a {obj_index: (7, Q)} dict of packed map rows
+    (diffuse rgb | normal xyz | specular) for meshes whose maps share
+    texel indices — gathered ONCE here and reused by object_color /
+    specular_coefficient instead of re-gathering per map."""
     st = scene.static
     q = hit_point.shape[0]
     normal = jnp.zeros((q, 3), jnp.float32)
     tex = jnp.zeros((q, 2), jnp.float32)
+    msamp: dict[int, jnp.ndarray] = {}
 
     for oi, kind in enumerate(st.obj_kinds):
         sub = st.obj_subs[oi]
@@ -400,26 +405,39 @@ def surface_data(scene, hit: Hit, hit_point):
             # smooth vertex normal; the /3 is a no-op under normalize
             # (objects.cpp:127)
             n = normalize((n1 * uu + n2 * vv + n0 * w0) / 3.0)
+            g7 = None
+            if ms.has_packed_maps:
+                g7 = sample_packed(
+                    scene.meshes[sub].mapsT, ms.pmap_wh, tc
+                )  # (7, Q)
+                msamp[oi] = g7
             if ms.has_normal_map:
                 # Tangent-space normal via the (unorthonormalized) TBN
                 # rows exactly as objects.cpp:129-150.
                 tang = jnp.stack([g[15], g[16], g[17]], -1)
                 bita = jnp.stack([g[18], g[19], g[20]], -1)
-                tn_map = normalize(sample_map(
-                    scene.meshes[sub].normal_map, ms.nmap_wh, tc
-                ))
+                raw = (
+                    g7[3:6].T if g7 is not None
+                    else sample_map(
+                        scene.meshes[sub].normal_map, ms.nmap_wh, tc
+                    )
+                )
+                tn_map = normalize(raw)
                 n = normalize(
                     tn_map[:, 0:1] * tang + tn_map[:, 1:2] * bita + tn_map[:, 2:3] * n
                 )
             normal = jnp.where(sel[:, None], n, normal)
             tex = jnp.where(sel[:, None], tc, tex)
+    if want_maps:
+        return normal, tex, msamp
     return normal, tex
 
 
-def object_color(scene, hit: Hit, tex):
+def object_color(scene, hit: Hit, tex, msamp=None):
     """objectColor: mesh -> getDiffuseColor(tex) (diffuse map or color,
     objects.cpp:153-163, applied for every material via scene.cpp:774);
-    sphere/plane -> object color."""
+    sphere/plane -> object color. msamp: packed map rows gathered by
+    surface_data (reused instead of a second gather)."""
     st = scene.static
     color = _per_obj(scene.obj_color, hit.obj, st.n_objects)
     for oi, kind in enumerate(st.obj_kinds):
@@ -429,16 +447,20 @@ def object_color(scene, hit: Hit, tex):
         ms = st.meshes[sub]
         if ms.has_diffuse_map:
             sel = (hit.obj == oi)[:, None]
-            color = jnp.where(
-                sel, sample_map(scene.meshes[sub].diffuse_map, ms.dmap_wh, tex),
-                color,
-            )
+            if msamp is not None and oi in msamp:
+                smp = msamp[oi][0:3].T
+            else:
+                smp = sample_map(
+                    scene.meshes[sub].diffuse_map, ms.dmap_wh, tex
+                )
+            color = jnp.where(sel, smp, color)
     return color
 
 
-def specular_coefficient(scene, hit: Hit, tex):
+def specular_coefficient(scene, hit: Hit, tex, msamp=None):
     """Phong specular coefficient: specular map if the mesh has one
-    (scene.cpp:849-852, objects.cpp:165-175), else object specular."""
+    (scene.cpp:849-852, objects.cpp:165-175), else object specular.
+    msamp: packed map rows gathered by surface_data (reused)."""
     st = scene.static
     spec = _per_obj(scene.obj_specular, hit.obj, st.n_objects)
     for oi, kind in enumerate(st.obj_kinds):
@@ -448,10 +470,16 @@ def specular_coefficient(scene, hit: Hit, tex):
         ms = st.meshes[sub]
         if ms.has_specular_map:
             sel = hit.obj == oi
-            spec = jnp.where(
-                sel, sample_map(scene.meshes[sub].specular_map, ms.smap_wh, tex),
-                spec,
-            )
+            if msamp is not None and oi in msamp:
+                smp = msamp[oi][6]
+            else:
+                smp = jnp.reshape(
+                    sample_map(
+                        scene.meshes[sub].specular_map, ms.smap_wh, tex
+                    ),
+                    (-1,),
+                )
+            spec = jnp.where(sel, smp, spec)
     return spec
 
 
@@ -616,8 +644,8 @@ def _bounce_block(scene, ro, rd, weight, active) -> BlockOut:
     # through the 0 * inf chain rule.
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
     hit_point = ro + rd * t_safe[:, None]
-    normal, tex = surface_data(scene, hit, hit_point)
-    obj_col = object_color(scene, hit, tex)
+    normal, tex, msamp = surface_data(scene, hit, hit_point, want_maps=True)
+    obj_col = object_color(scene, hit, tex, msamp)
     nspec = _per_obj(scene.obj_nspec, hit.obj, st.n_objects)
     mat = _per_obj(scene.mat_type, hit.obj, st.n_objects)
 
@@ -626,7 +654,7 @@ def _bounce_block(scene, ro, rd, weight, active) -> BlockOut:
     )
 
     # Material combine (scene.cpp:780-941).
-    spec_coef = specular_coefficient(scene, hit, tex)
+    spec_coef = specular_coefficient(scene, hit, tex, msamp)
     hc_diffuse = obj_col * diffuse_c
     hc_phong = (
         obj_col * _per_obj(scene.obj_ambient, hit.obj, st.n_objects)[:, None]

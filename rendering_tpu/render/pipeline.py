@@ -161,24 +161,40 @@ def _show_ac_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
 
 
 def derive_mesh_tables(scene):
-    """Re-derive the transposed gather table (vgeoT) from
-    the canonical per-triangle arrays INSIDE the traced program, so
-    `jax.grad` w.r.t. vertices/normals/uvs/tangents flows through the
-    differentiable hit re-evaluation (the build-time copies are
-    unconnected constants). One transpose per render — XLA hoists it
-    out of the bounce loop."""
+    """Re-derive the transposed gather tables (vgeoT, packed mapsT)
+    from the canonical per-triangle / per-map arrays INSIDE the traced
+    program, so `jax.grad` w.r.t. vertices/normals/uvs/tangents and map
+    texels flows through the differentiable hit re-evaluation (the
+    build-time copies would be unconnected constants). One transpose
+    per render — XLA hoists it out of the bounce loop."""
     import dataclasses
 
-    meshes = tuple(
-        dataclasses.replace(
+    def tables(m, ms):
+        mapsT = None
+        if ms.has_packed_maps:
+            n_tex = ms.pmap_wh[0] * ms.pmap_wh[1]
+            z3 = jnp.zeros((3, n_tex), jnp.float32)
+            mapsT = jnp.concatenate(
+                [
+                    m.diffuse_map.T if ms.has_diffuse_map else z3,
+                    m.normal_map.T if ms.has_normal_map else z3,
+                    (m.specular_map.reshape(1, n_tex)
+                     if ms.has_specular_map else z3[:1]),
+                ],
+                axis=0,
+            )  # (7, Wp*Hp)
+        return dataclasses.replace(
             m,
             vgeoT=jnp.concatenate(
                 [m.v.reshape(-1, 9).T, m.n.reshape(-1, 9).T,
                  m.uv.reshape(-1, 6).T, m.tangent.T, m.bitangent.T],
                 axis=0,
             ),
+            mapsT=mapsT,
         )
-        for m in scene.meshes
+
+    meshes = tuple(
+        tables(m, ms) for m, ms in zip(scene.meshes, scene.static.meshes)
     )
     return dataclasses.replace(scene, meshes=meshes)
 
