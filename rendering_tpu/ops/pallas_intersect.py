@@ -93,7 +93,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rendering_tpu.ops.geometry import FLT_MAX
 
-DEFAULT_RAY_TILE = 512
+DEFAULT_RAY_TILE = int(os.environ.get("RT_RAY_TILE", "512"))
 _FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 
 # Step-count buckets for the 1-D pair-compacted grid, as multiples of

@@ -71,8 +71,11 @@ from rendering_tpu.ops.traversal import traverse_bvh
 # Rays per block of the bounce body (bounds every per-ray temporary).
 # 128k rays = 128 ray tiles per oracle call: measured ~15% faster than
 # 64k on the flagship (better pre-cull/fixed-cost amortization) while
-# keeping per-block temporaries comfortably in HBM.
-DEFAULT_RAY_BLOCK = 1 << 17
+# keeping per-block temporaries comfortably in HBM. RT_RAY_BLOCK
+# overrides for experiments (read once at import).
+import os as _os
+
+DEFAULT_RAY_BLOCK = int(_os.environ.get("RT_RAY_BLOCK", str(1 << 17)))
 
 
 class Hit(NamedTuple):
