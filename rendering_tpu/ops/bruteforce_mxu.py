@@ -187,5 +187,8 @@ def bruteforce_mesh_mxu(
 
     found = tri_best >= 0
     t_best = jnp.where(found, t_best, FLT_MAX)
-    tri_tests = jnp.asarray(R, jnp.int32) * jnp.asarray(T, jnp.int32)
-    return t_best, tri_best, jnp.zeros((), jnp.int32), tri_tests
+    # f32 counter: R*T overflows int32 at the sizes the dense scan
+    # is asked about in tests (advisor r1); the integrator accumulates
+    # all counters in f32 anyway (see integrator._zero_stats).
+    tri_tests = jnp.asarray(float(R) * float(T), jnp.float32)
+    return t_best, tri_best, jnp.zeros((), jnp.float32), tri_tests

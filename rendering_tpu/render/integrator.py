@@ -8,11 +8,15 @@ Design (TPU-first, not a port):
   material combine -> spawn continuations. Material branches are
   computed vectorized and selected — no divergence.
 * LAYOUT: TPU tiles pad the minor-most dimension to 128 lanes, so a
-  materialized f32[N,3] costs 42.7x its true size. Every PERSISTENT
-  per-ray vector therefore lives as (nb, 3, B) blocks (minor dim = the
-  large ray-block axis); the bounce body runs under lax.map over the
-  nb blocks, transposing to the ops' (B, 3) convention only inside the
-  fused block body where XLA keeps temporaries small.
+  materialized f32[N,3] costs 42.7x its true size. Every per-ray
+  vector therefore lives as (3, B) ROWS (minor dim = the large
+  ray-block axis) — persistent queues as (nb, 3, B) blocks, and the
+  row convention is carried through the whole bounce body
+  (trace/surface/lighting/material ops all take and return (3, B)),
+  so no (B, 3) <-> (3, B) relayout ever materializes. The ops._r
+  helpers use the exact same formulas as their (..., 3) counterparts;
+  XLA fusion/FMA choices shift a few ulp in float, but quantized u8
+  frames are identical (verified across all golden scenes).
 * The Whitted recursion tree becomes weighted continuation paths:
   Reflective spawns one child with weight *= 0.8 (scene.cpp:858);
   Transparent spawns refraction (weight*(1-kr), if kr<1) + reflection
@@ -53,19 +57,24 @@ from rendering_tpu.models.scene import (
 )
 from rendering_tpu.ops.geometry import (
     FLT_MAX,
-    dot,
-    morton_key,
-    normalize,
+    dot_r,
+    morton_key_r,
+    normalize_r,
     pvary_like,
 )
 from rendering_tpu.ops.intersect import (
-    intersect_planes,
-    intersect_spheres,
-    ray_triangle,
+    intersect_planes_r,
+    intersect_spheres_r,
+    ray_triangle_r,
 )
-from rendering_tpu.ops.shading import fresnel, reflect, refract, spec_pow
-from rendering_tpu.ops.skybox import sample_skybox
-from rendering_tpu.ops.texture import sample_map, sample_packed
+from rendering_tpu.ops.shading import (
+    fresnel_r,
+    reflect_r,
+    refract_r,
+    spec_pow,
+)
+from rendering_tpu.ops.skybox import sample_skybox_r
+from rendering_tpu.ops.texture import sample_map_r, sample_packed_r
 from rendering_tpu.ops.traversal import traverse_bvh
 
 # Rays per block of the bounce body (bounds every per-ray temporary).
@@ -120,23 +129,21 @@ def _per_obj(table, obj, n_objects: int):
     return table[obj]
 
 
-def _gather_tri9(table9, idx):
-    """Gather 9 components per index from a (9, T) transposed table into
-    three (Q, 3) vectors. The gather output is (9, Q) — minor dim large,
-    so the buffer pads ~1.7x instead of 42x for a (Q, 3, 3) gather."""
-    g = table9[:, idx]  # (9, Q)
-    a = jnp.stack([g[0], g[1], g[2]], axis=-1)
-    b = jnp.stack([g[3], g[4], g[5]], axis=-1)
-    c = jnp.stack([g[6], g[7], g[8]], axis=-1)
-    return a, b, c
+def _per_obj3(table, obj, n_objects: int):
+    """Per-object 3-vector table -> (3, Q) rows. table: (No, 3);
+    obj: (Q,) i32. Gathers from the transposed (3, No) view so the
+    output lands rays-minor (No is tiny — the transpose is free)."""
+    if n_objects == 1:
+        return jnp.broadcast_to(table[0][:, None], (3, obj.shape[0]))
+    return table.T[:, obj]
 
 
-def _mesh_oracle(mesh, settings, ro, rd, t_limit, mode: str = "closest"):
+def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
     """Discrete mesh hit: fused Pallas kernel on TPU (closest-hit or
     any-hit occlusion mode), dense chunked Moller-Trumbore on other
     backends, lockstep threaded-BVH walk for big meshes on CPU.
-    Returns (tri_id, box_tests, tri_tests); in any-hit mode tri_id >= 0
-    means occluded within t_limit."""
+    ro3/rd3: (3, Q) rows. Returns (tri_id, box_tests, tri_tests); in
+    any-hit mode tri_id >= 0 means occluded within t_limit."""
     import jax as _jax
 
     from rendering_tpu.ops.bruteforce import bruteforce_mesh
@@ -158,6 +165,7 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit, mode: str = "closest"):
             fn = bruteforce_mesh_pallas
             kw["mode"] = mode
             kw["collect_stats"] = settings.collect_statistics
+            kw["rays_row"] = True  # (3, Q) straight through — no relayout
             tables = getattr(mesh, "itables", None)
             if (
                 tables is not None
@@ -171,27 +179,32 @@ def _mesh_oracle(mesh, settings, ro, rd, t_limit, mode: str = "closest"):
         else:
             fn = bruteforce_mesh
         kw.setdefault("tri_chunk", settings.tri_chunk)
+        if use_pallas:
+            ro_a, rd_a = ro3, rd3
+        else:
+            ro_a, rd_a = ro3.T, rd3.T  # jnp fallbacks keep (Q, 3)
         _t, tri, bt, tt = fn(
-            mesh, ro, rd, t_limit,
+            mesh, ro_a, rd_a, t_limit,
             backface_culling=settings.use_backface_culling,
             use_root_filter=root_filter,
             **kw,
         )
         return tri, bt, tt
     r = traverse_bvh(
-        mesh, ro, rd, t_limit,
+        mesh, ro3.T, rd3.T, t_limit,
         backface_culling=settings.use_backface_culling,
         use_ac=settings.use_ac,
     )
     return r.tri, r.box_tests, r.tri_tests
 
 
-def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
+def trace_closest(scene, ro3, rd3, *, shadow: bool = False, t_limit=None,
                   ray_block: int | None = None):
     """Closest hit over all scene objects in scene order
     (Render::trace, src/scene.cpp:724-756). Shadow rays skip transparent
-    objects (scene.cpp:733-734). Returns (Hit, stats dict). Call with
-    block-sized ray batches (the bounce loop does).
+    objects (scene.cpp:733-734). ro3/rd3: (3, Q) rows. Returns
+    (Hit, stats dict). Call with block-sized ray batches (the bounce
+    loop does).
 
     Differentiability: sphere/plane t's are direct jnp math; mesh t/u/v
     are re-evaluated via Moller-Trumbore on the hit oracle's triangle
@@ -200,26 +213,26 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
     del ray_block  # callers pass block-sized batches already
     st = scene.static
     settings = st.settings
-    q = ro.shape[0]
+    q = ro3.shape[1]
     stats = _zero_stats()
     stats["rays_casted"] = jnp.asarray(q, jnp.float32)
 
     t_sph = (
-        intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r)
+        intersect_spheres_r(ro3, rd3, scene.sph_pos, scene.sph_r)
         if st.n_spheres
         else None
-    )
+    )  # (Ns, Q)
     t_pln = (
-        intersect_planes(ro, rd, scene.pln_pos, scene.pln_n)
+        intersect_planes_r(ro3, rd3, scene.pln_pos, scene.pln_n)
         if st.n_planes
         else None
-    )
+    )  # (Np, Q)
 
     mesh_t, mesh_tri, mesh_u, mesh_v, mesh_geo = [], [], [], [], []
     for mesh in scene.meshes:
         tri_d, bt, tt = _mesh_oracle(
             jax.lax.stop_gradient(mesh), settings,
-            jax.lax.stop_gradient(ro), jax.lax.stop_gradient(rd),
+            jax.lax.stop_gradient(ro3), jax.lax.stop_gradient(rd3),
             jax.lax.stop_gradient(t_limit) if t_limit is not None else None,
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
@@ -227,13 +240,11 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
         # ONE gather of every per-triangle surface row (a gather costs
         # the same regardless of row count); rows 0-8 feed the
         # differentiable hit re-evaluation here, the rest ride along in
-        # Hit.geo for surface_data.
+        # Hit.geo for surface_data. Row layout: the vertex vectors are
+        # SLICES of the gather output — no repacking.
         g = mesh.vgeoT[:, jnp.maximum(tri_d, 0)]  # (30, Q)
-        v0 = jnp.stack([g[0], g[1], g[2]], axis=-1)
-        v1 = jnp.stack([g[3], g[4], g[5]], axis=-1)
-        v2 = jnp.stack([g[6], g[7], g[8]], axis=-1)
-        t_r, u_r, v_r, _ = ray_triangle(
-            ro, rd, v0, v1, v2, settings.use_backface_culling
+        t_r, u_r, v_r, _ = ray_triangle_r(
+            ro3, rd3, g[0:3], g[3:6], g[6:9], settings.use_backface_culling
         )
         found = tri_d >= 0
         mesh_t.append(jnp.where(found, t_r, FLT_MAX))
@@ -248,9 +259,9 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
         if shadow and st.mat_types[oi] == MAT_TRANSPARENT:
             cols.append(jnp.full((q,), FLT_MAX, jnp.float32))
         elif kind == KIND_SPHERE:
-            cols.append(t_sph[:, sub])
+            cols.append(t_sph[sub])
         elif kind == KIND_PLANE:
-            cols.append(t_pln[:, sub])
+            cols.append(t_pln[sub])
         else:
             cols.append(mesh_t[sub])
     if not cols:
@@ -267,11 +278,11 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
         obj = jnp.zeros((q,), jnp.int32)
         t = cols[0]
     else:
-        t_mat = jnp.stack(cols, axis=1)  # (Q, No) in scene order
+        t_mat = jnp.stack(cols, axis=0)  # (No, Q) in scene order
         obj = jnp.argmin(
-            jax.lax.stop_gradient(t_mat), axis=1
+            jax.lax.stop_gradient(t_mat), axis=0
         ).astype(jnp.int32)
-        t = jnp.take_along_axis(t_mat, obj[:, None], axis=1)[:, 0]
+        t = jnp.take_along_axis(t_mat, obj[None, :], axis=0)[0]
     hit = t < FLT_MAX
 
     tri = jnp.full((q,), -1, jnp.int32)
@@ -292,20 +303,20 @@ def trace_closest(scene, ro, rd, *, shadow: bool = False, t_limit=None,
     return Hit(t, obj, hit, tri, u, v, geo), stats
 
 
-def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
+def trace_occlusion(scene, ro3, rd3, dist, *, ray_block: int | None = None):
     """Boolean shadow query: does any non-transparent object intersect
     strictly closer than `dist`? (trace() called with intrInfo.tNear
-    pre-set to the light distance, scene.cpp:785-787.)
+    pre-set to the light distance, scene.cpp:785-787.) ro3/rd3: (3, Q).
     Entirely under stop_gradient — visibility is a step function and is
     treated as locally constant for gradients. Returns (occluded, stats).
     """
     del ray_block
     st = scene.static
     settings = st.settings
-    ro = jax.lax.stop_gradient(ro)
-    rd = jax.lax.stop_gradient(rd)
+    ro3 = jax.lax.stop_gradient(ro3)
+    rd3 = jax.lax.stop_gradient(rd3)
     dist = jax.lax.stop_gradient(dist)
-    q = ro.shape[0]
+    q = ro3.shape[1]
     stats = _zero_stats()
     stats["rays_casted"] = jnp.asarray(q, jnp.float32)
     occluded = jnp.zeros((q,), bool)
@@ -327,13 +338,13 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
     ]
 
     if st.n_spheres and any(sph_mask):
-        t = intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r)
-        keep = jnp.asarray(sph_mask)[None, :]
-        occluded = occluded | jnp.any(keep & (t < dist[:, None]), axis=1)
+        t = intersect_spheres_r(ro3, rd3, scene.sph_pos, scene.sph_r)
+        keep = jnp.asarray(sph_mask)[:, None]  # (Ns, 1)
+        occluded = occluded | jnp.any(keep & (t < dist[None, :]), axis=0)
     if st.n_planes and any(pln_mask):
-        t = intersect_planes(ro, rd, scene.pln_pos, scene.pln_n)
-        keep = jnp.asarray(pln_mask)[None, :]
-        occluded = occluded | jnp.any(keep & (t < dist[:, None]), axis=1)
+        t = intersect_planes_r(ro3, rd3, scene.pln_pos, scene.pln_n)
+        keep = jnp.asarray(pln_mask)[:, None]
+        occluded = occluded | jnp.any(keep & (t < dist[None, :]), axis=0)
     for mi, mesh in enumerate(scene.meshes):
         if not mesh_mask[mi]:
             continue
@@ -342,7 +353,7 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
         # already final for them.
         dist_m = jnp.where(occluded, -1.0, dist)
         tri_d, bt, tt = _mesh_oracle(
-            jax.lax.stop_gradient(mesh), settings, ro, rd, dist_m,
+            jax.lax.stop_gradient(mesh), settings, ro3, rd3, dist_m,
             mode="any"
         )
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
@@ -351,116 +362,113 @@ def trace_occlusion(scene, ro, rd, dist, *, ray_block: int | None = None):
     return occluded, stats
 
 
-def surface_data(scene, hit: Hit, hit_point, *, want_maps: bool = False):
+def surface_data(scene, hit: Hit, hit_point3, *, want_maps: bool = False):
     """Normal + texture coordinate at the hit (getSurfaceData
     implementations: mesh objects.cpp:121-151, sphere :788-796, plane
-    :816-824). Returns (normal (Q, 3), tex (Q, 2)); with
-    want_maps=True also a {obj_index: (7, Q)} dict of packed map rows
-    (diffuse rgb | normal xyz | specular) for meshes whose maps share
-    texel indices — gathered ONCE here and reused by object_color /
-    specular_coefficient instead of re-gathering per map."""
+    :816-824). hit_point3: (3, Q). Returns (normal3 (3, Q), tex2
+    (2, Q)); with want_maps=True also a {obj_index: (7, Q)} dict of
+    packed map rows (diffuse rgb | normal xyz | specular) for meshes
+    whose maps share texel indices — gathered ONCE here and reused by
+    object_color / specular_coefficient instead of re-gathering per
+    map."""
     st = scene.static
-    q = hit_point.shape[0]
-    normal = jnp.zeros((q, 3), jnp.float32)
-    tex = jnp.zeros((q, 2), jnp.float32)
+    q = hit_point3.shape[1]
+    normal3 = jnp.zeros((3, q), jnp.float32)
+    tex2 = jnp.zeros((2, q), jnp.float32)
     msamp: dict[int, jnp.ndarray] = {}
 
     for oi, kind in enumerate(st.obj_kinds):
         sub = st.obj_subs[oi]
         sel = (hit.obj == oi) & hit.hit
         if kind == KIND_SPHERE:
-            n = normalize(hit_point - scene.sph_pos[sub])
-            normal = jnp.where(sel[:, None], n, normal)
+            n3 = normalize_r(hit_point3 - scene.sph_pos[sub][:, None])
+            normal3 = jnp.where(sel[None, :], n3, normal3)
             # Sphere UV (objects.cpp:793-795): debug-only (maps exist
             # only on meshes); stop_gradient avoids the acos'(+-1) pole.
-            n_sg = jax.lax.stop_gradient(n)
-            tx = (1.0 + jnp.arctan2(n_sg[:, 2], n_sg[:, 0]) / math.pi) * 0.5
-            ty = jnp.arccos(jnp.clip(n_sg[:, 1], -1.0, 1.0)) / math.pi
-            tex = jnp.where(sel[:, None], jnp.stack([tx, ty], -1), tex)
+            n_sg = jax.lax.stop_gradient(n3)
+            tx = (1.0 + jnp.arctan2(n_sg[2], n_sg[0]) / math.pi) * 0.5
+            ty = jnp.arccos(jnp.clip(n_sg[1], -1.0, 1.0)) / math.pi
+            tex2 = jnp.where(sel[None, :], jnp.stack([tx, ty]), tex2)
         elif kind == KIND_PLANE:
-            n = jnp.broadcast_to(scene.pln_n[sub], (q, 3))
-            normal = jnp.where(sel[:, None], n, normal)
-            d = hit_point - scene.pln_pos[sub]
-            tex = jnp.where(
-                sel[:, None], jnp.stack([d[:, 0] / 15.0, d[:, 2] / 15.0], -1), tex
+            n3 = jnp.broadcast_to(scene.pln_n[sub][:, None], (3, q))
+            normal3 = jnp.where(sel[None, :], n3, normal3)
+            d3 = hit_point3 - scene.pln_pos[sub][:, None]
+            tex2 = jnp.where(
+                sel[None, :], jnp.stack([d3[0] / 15.0, d3[2] / 15.0]), tex2
             )
         else:
             ms = st.meshes[sub]
             # Surface rows already gathered by trace_closest (Hit.geo);
             # lanes where another mesh won hold that mesh's rows, but
-            # `sel` masks them out exactly as before.
+            # `sel` masks them out exactly as before. All vertex
+            # vectors are SLICES of the row-major gather — no repack.
             g = hit.geo[9:]  # (21, Q): n9 | uv6 | tan3 | bit3
-            n0 = jnp.stack([g[0], g[1], g[2]], axis=-1)
-            n1 = jnp.stack([g[3], g[4], g[5]], axis=-1)
-            n2 = jnp.stack([g[6], g[7], g[8]], axis=-1)
             uvg = g[9:15]  # (6, Q)
-            uu = hit.u[:, None]
-            vv = hit.v[:, None]
-            w0 = (1.0 - hit.u - hit.v)[:, None]
+            w0 = 1.0 - hit.u - hit.v
             # texCoord = t_b*u + t_c*v + (1-u-v)*t_a (objects.cpp:124)
-            tc = jnp.stack(
+            tc2 = jnp.stack(
                 [
-                    uvg[2] * hit.u + uvg[4] * hit.v + uvg[0] * w0[:, 0],
-                    uvg[3] * hit.u + uvg[5] * hit.v + uvg[1] * w0[:, 0],
-                ],
-                axis=-1,
+                    uvg[2] * hit.u + uvg[4] * hit.v + uvg[0] * w0,
+                    uvg[3] * hit.u + uvg[5] * hit.v + uvg[1] * w0,
+                ]
             )
             # smooth vertex normal; the /3 is a no-op under normalize
             # (objects.cpp:127)
-            n = normalize((n1 * uu + n2 * vv + n0 * w0) / 3.0)
+            n3 = normalize_r(
+                (g[3:6] * hit.u[None] + g[6:9] * hit.v[None]
+                 + g[0:3] * w0[None]) / 3.0
+            )
             g7 = None
             if ms.has_packed_maps:
-                g7 = sample_packed(
-                    scene.meshes[sub].mapsT, ms.pmap_wh, tc
+                g7 = sample_packed_r(
+                    scene.meshes[sub].mapsT, ms.pmap_wh, tc2
                 )  # (7, Q)
                 msamp[oi] = g7
             if ms.has_normal_map:
                 # Tangent-space normal via the (unorthonormalized) TBN
                 # rows exactly as objects.cpp:129-150.
-                tang = jnp.stack([g[15], g[16], g[17]], -1)
-                bita = jnp.stack([g[18], g[19], g[20]], -1)
                 raw = (
-                    g7[3:6].T if g7 is not None
-                    else sample_map(
-                        scene.meshes[sub].normal_map, ms.nmap_wh, tc
+                    g7[3:6] if g7 is not None
+                    else sample_map_r(
+                        scene.meshes[sub].normal_map, ms.nmap_wh, tc2
                     )
                 )
-                tn_map = normalize(raw)
-                n = normalize(
-                    tn_map[:, 0:1] * tang + tn_map[:, 1:2] * bita + tn_map[:, 2:3] * n
+                tn = normalize_r(raw)
+                n3 = normalize_r(
+                    tn[0:1] * g[15:18] + tn[1:2] * g[18:21] + tn[2:3] * n3
                 )
-            normal = jnp.where(sel[:, None], n, normal)
-            tex = jnp.where(sel[:, None], tc, tex)
+            normal3 = jnp.where(sel[None, :], n3, normal3)
+            tex2 = jnp.where(sel[None, :], tc2, tex2)
     if want_maps:
-        return normal, tex, msamp
-    return normal, tex
+        return normal3, tex2, msamp
+    return normal3, tex2
 
 
-def object_color(scene, hit: Hit, tex, msamp=None):
+def object_color(scene, hit: Hit, tex2, msamp=None):
     """objectColor: mesh -> getDiffuseColor(tex) (diffuse map or color,
     objects.cpp:153-163, applied for every material via scene.cpp:774);
-    sphere/plane -> object color. msamp: packed map rows gathered by
-    surface_data (reused instead of a second gather)."""
+    sphere/plane -> object color. Returns (3, Q). msamp: packed map
+    rows gathered by surface_data (reused instead of a second gather)."""
     st = scene.static
-    color = _per_obj(scene.obj_color, hit.obj, st.n_objects)
+    color3 = _per_obj3(scene.obj_color, hit.obj, st.n_objects)
     for oi, kind in enumerate(st.obj_kinds):
         if kind != KIND_MESH:
             continue
         sub = st.obj_subs[oi]
         ms = st.meshes[sub]
         if ms.has_diffuse_map:
-            sel = (hit.obj == oi)[:, None]
+            sel = (hit.obj == oi)[None, :]
             if msamp is not None and oi in msamp:
-                smp = msamp[oi][0:3].T
+                smp = msamp[oi][0:3]
             else:
-                smp = sample_map(
-                    scene.meshes[sub].diffuse_map, ms.dmap_wh, tex
+                smp = sample_map_r(
+                    scene.meshes[sub].diffuse_map, ms.dmap_wh, tex2
                 )
-            color = jnp.where(sel, smp, color)
-    return color
+            color3 = jnp.where(sel, smp, color3)
+    return color3
 
 
-def specular_coefficient(scene, hit: Hit, tex, msamp=None):
+def specular_coefficient(scene, hit: Hit, tex2, msamp=None):
     """Phong specular coefficient: specular map if the mesh has one
     (scene.cpp:849-852, objects.cpp:165-175), else object specular.
     msamp: packed map rows gathered by surface_data (reused)."""
@@ -476,12 +484,9 @@ def specular_coefficient(scene, hit: Hit, tex, msamp=None):
             if msamp is not None and oi in msamp:
                 smp = msamp[oi][6]
             else:
-                smp = jnp.reshape(
-                    sample_map(
-                        scene.meshes[sub].specular_map, ms.smap_wh, tex
-                    ),
-                    (-1,),
-                )
+                smp = sample_map_r(
+                    scene.meshes[sub].specular_map, ms.smap_wh, tex2
+                )[0]
             spec = jnp.where(sel, smp, spec)
     return spec
 
@@ -508,25 +513,26 @@ def _point_falloff(intensity, d2):
     return jnp.minimum(1.0, intensity / (4.0 * math.pi * safe / 1000.0))
 
 
-def lighting(scene, hit_point, normal, rd, nspec, *, stats, mask=None,
+def lighting(scene, hit_point3, normal3, rd3, nspec, *, stats, mask=None,
              ray_block=None):
     """Direct lighting over all lights, shared by every material branch
     (the per-branch light loops at scene.cpp:780-941 compute the same
-    two sums). Returns (diffuse_comp (Q,3), spec_comp (Q,3)).
+    two sums). All vectors (3, Q) rows. Returns
+    (diffuse_comp (3, Q), spec_comp (3, Q)).
 
     Area lights reproduce the pow-of-MEAN quirk (scene.cpp:846): the
     specular term is pow(sum(vis*max(0,R.(-V)))/S, nspec), not the mean
     of pows.
     """
     del ray_block
-    q = hit_point.shape[0]
-    diffuse_c = jnp.zeros((q, 3), jnp.float32)
-    spec_c = jnp.zeros((q, 3), jnp.float32)
-    shadow_orig = hit_point + normal * scene.bias
+    q = hit_point3.shape[1]
+    diffuse_c3 = jnp.zeros((3, q), jnp.float32)
+    spec_c3 = jnp.zeros((3, q), jnp.float32)
+    shadow_orig3 = hit_point3 + normal3 * scene.bias
 
     # Point/distant shadow rays share their origins and the mesh chunk
     # tables, so ALL of them go through ONE batched any-hit occlusion
-    # query (rays concatenated along the batch axis) — one kernel
+    # query (rays concatenated along the ray axis) — one kernel
     # launch and one tile pre-cull instead of one per light. Rays whose
     # result is provably unused enter the query pre-done (t0 = -1, the
     # any-hit done marker: every chunk is culled for them): miss/
@@ -537,82 +543,85 @@ def lighting(scene, hit_point, normal, rd, nspec, *, stats, mask=None,
     point_lights = [
         li for li in scene.lights if li.kind in ("distant", "point")
     ]
-    batched = []  # (ldir, inten, dist, ndl, spec_f) per light
+    batched = []  # (ldir3, inten3, dist, ndl, spec_f) per light
     for light in point_lights:
         if light.kind == "distant":
-            ldir = jnp.broadcast_to(light.dir, (q, 3))
-            inten = jnp.broadcast_to(light.color * light.intensity, (q, 3))
+            ldir3 = jnp.broadcast_to(light.dir[:, None], (3, q))
+            inten3 = jnp.broadcast_to(
+                (light.color * light.intensity)[:, None], (3, q)
+            )
             dist = jnp.full((q,), FLT_MAX, jnp.float32)
         else:
-            delta = hit_point - light.pos
-            d2 = dot(delta, delta)
-            inten = (
-                light.color[None, :]
-                * _point_falloff(light.intensity, d2)[:, None]
+            delta3 = hit_point3 - light.pos[:, None]
+            d2 = dot_r(delta3, delta3)
+            inten3 = (
+                light.color[:, None]
+                * _point_falloff(light.intensity, d2)[None, :]
             )
-            ldir = normalize(delta)
+            ldir3 = normalize_r(delta3)
             dist = jnp.sqrt(d2)
-        ndl = jnp.maximum(0.0, dot(normal, -ldir))
-        spec_f = spec_pow(jnp.maximum(0.0, dot(reflect(ldir, normal), -rd)),
-                          nspec)
+        ndl = jnp.maximum(0.0, dot_r(normal3, -ldir3))
+        spec_f = spec_pow(
+            jnp.maximum(0.0, dot_r(reflect_r(ldir3, normal3), -rd3)), nspec
+        )
         unused = (ndl <= 0.0) & (spec_f <= 0.0)
         if mask is not None:
             unused = unused | ~mask
         dist = jnp.where(jax.lax.stop_gradient(unused), -1.0, dist)
-        batched.append((ldir, inten, dist, ndl, spec_f))
+        batched.append((ldir3, inten3, dist, ndl, spec_f))
 
     if batched:
         n_l = len(batched)
         occ_all, s_stats = trace_occlusion(
             scene,
-            jnp.tile(shadow_orig, (n_l, 1)),
-            jnp.concatenate([-b[0] for b in batched]),
+            jnp.tile(shadow_orig3, (1, n_l)),
+            jnp.concatenate([-b[0] for b in batched], axis=1),
             jnp.concatenate([b[2] for b in batched]),
         )
         for k in stats:
             stats[k] = stats[k] + s_stats[k]
-        for li, (ldir, inten, dist, ndl, spec_f) in enumerate(batched):
+        for li, (ldir3, inten3, dist, ndl, spec_f) in enumerate(batched):
             vis = (~occ_all[li * q : (li + 1) * q]).astype(jnp.float32)
-            diffuse_c = diffuse_c + inten * (vis * ndl)[:, None]
-            spec_c = spec_c + (vis * spec_f)[:, None] * inten
+            diffuse_c3 = diffuse_c3 + inten3 * (vis * ndl)[None, :]
+            spec_c3 = spec_c3 + (vis * spec_f)[None, :] * inten3
 
     for light in scene.lights:
         if light.kind in ("distant", "point"):
             continue  # handled by the batched query above
         else:  # area — sample grid, scene.cpp:790-806 / 826-846
-            pts = _area_points(light)  # (S, 3)
-            s_count = pts.shape[0]
-            delta = hit_point[:, None, :] - pts[None, :, :]      # (Q, S, 3)
-            dist_s = jnp.sqrt(jnp.sum(delta * delta, axis=-1))   # (Q, S)
+            pts3 = _area_points(light).T  # (3, S)
+            s_count = pts3.shape[1]
+            delta3 = hit_point3[:, :, None] - pts3[:, None, :]  # (3, Q, S)
+            dist_s = jnp.sqrt(dot_r(delta3, delta3))            # (Q, S)
             if mask is not None:  # pre-done miss/inactive lanes (exact)
                 dist_s = jnp.where(
                     jax.lax.stop_gradient(mask)[:, None], dist_s, -1.0
                 )
-            ldn = normalize(delta)
+            ldn3 = normalize_r(delta3)
             occ, s_stats = trace_occlusion(
                 scene,
-                jnp.broadcast_to(shadow_orig[:, None, :], delta.shape).reshape(-1, 3),
-                (-ldn).reshape(-1, 3),
+                jnp.broadcast_to(
+                    shadow_orig3[:, :, None], delta3.shape
+                ).reshape(3, -1),
+                (-ldn3).reshape(3, -1),
                 dist_s.reshape(-1),
             )
             for k in stats:
                 stats[k] = stats[k] + s_stats[k]
             vis = (~occ).reshape(q, s_count).astype(jnp.float32)
-            ndl = jnp.maximum(
-                0.0, jnp.sum(normal[:, None, :] * (-ldn), axis=-1)
-            )  # (Q, S)
-            refl_s = reflect(ldn, normal[:, None, :])             # (Q, S, 3)
-            rdv = jnp.maximum(0.0, jnp.sum(refl_s * (-rd[:, None, :]), axis=-1))
+            ndl = jnp.maximum(0.0, dot_r(normal3[:, :, None], -ldn3))  # (Q, S)
+            refl_s3 = reflect_r(ldn3, normal3[:, :, None])      # (3, Q, S)
+            rdv = jnp.maximum(0.0, dot_r(refl_s3, -rd3[:, :, None]))
             dsum = jnp.sum(vis * ndl, axis=1) / s_count
             ssum = jnp.sum(vis * rdv, axis=1) / s_count
-            dc = hit_point - light.pos
-            inten = (
-                light.color[None, :]
-                * _point_falloff(light.intensity, dot(dc, dc))[:, None]
+            dc3 = hit_point3 - light.pos[:, None]
+            inten3 = (
+                light.color[:, None]
+                * _point_falloff(light.intensity, dot_r(dc3, dc3))[None, :]
             )
-            diffuse_c = diffuse_c + dsum[:, None] * inten
-            spec_c = spec_c + spec_pow(ssum, nspec)[:, None] * inten
-    return diffuse_c, spec_c
+            diffuse_c3 = diffuse_c3 + dsum[None, :] * inten3
+            spec_c3 = spec_c3 + spec_pow(ssum, nspec)[None, :] * inten3
+    return diffuse_c3, spec_c3
 
 
 class BlockOut(NamedTuple):
@@ -626,103 +635,107 @@ class BlockOut(NamedTuple):
     stats: dict
 
 
-def _bounce_block(scene, ro, rd, weight, active) -> BlockOut:
-    """One castRay level for a block of rays ((B, 3) convention inside)."""
+def _bounce_block(scene, ro3, rd3, weight, active) -> BlockOut:
+    """One castRay level for a block of rays — (3, B) rows throughout
+    (no layout change from queue to ops to queue)."""
     st = scene.static
     stats = _zero_stats()
 
-    hit, t_stats = trace_closest(scene, ro, rd)
+    hit, t_stats = trace_closest(scene, ro3, rd3)
     for k in stats:
         stats[k] = stats[k] + t_stats[k]
     hit_m = hit.hit & active
     miss_m = (~hit.hit) & active
 
-    sky = sample_skybox(
-        scene.skybox if st.settings.use_skybox else None, rd, scene.bg_color
+    sky3 = sample_skybox_r(
+        scene.skybox if st.settings.use_skybox else None, rd3, scene.bg_color
     )
-    contrib = jnp.where(miss_m[:, None], weight[:, None] * sky, 0.0)
+    contrib3 = jnp.where(miss_m[None, :], weight[None, :] * sky3, 0.0)
 
     # Sanitize miss-lane t (FLT_MAX) so masked lanes stay finite: any
     # inf/NaN in a masked forward value would poison reverse-mode
     # through the 0 * inf chain rule.
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
-    hit_point = ro + rd * t_safe[:, None]
-    normal, tex, msamp = surface_data(scene, hit, hit_point, want_maps=True)
-    obj_col = object_color(scene, hit, tex, msamp)
+    hit_point3 = ro3 + rd3 * t_safe[None, :]
+    normal3, tex2, msamp = surface_data(
+        scene, hit, hit_point3, want_maps=True
+    )
+    obj_col3 = object_color(scene, hit, tex2, msamp)
     nspec = _per_obj(scene.obj_nspec, hit.obj, st.n_objects)
     mat = _per_obj(scene.mat_type, hit.obj, st.n_objects)
 
-    diffuse_c, spec_c = lighting(
-        scene, hit_point, normal, rd, nspec, stats=stats, mask=hit_m
+    diffuse_c3, spec_c3 = lighting(
+        scene, hit_point3, normal3, rd3, nspec, stats=stats, mask=hit_m
     )
 
     # Material combine (scene.cpp:780-941).
-    spec_coef = specular_coefficient(scene, hit, tex, msamp)
-    hc_diffuse = obj_col * diffuse_c
+    spec_coef = specular_coefficient(scene, hit, tex2, msamp)
+    hc_diffuse = obj_col3 * diffuse_c3
     hc_phong = (
-        obj_col * _per_obj(scene.obj_ambient, hit.obj, st.n_objects)[:, None]
-        + diffuse_c * _per_obj(scene.obj_diffuse, hit.obj, st.n_objects)[:, None]
-        + spec_c * spec_coef[:, None]
+        obj_col3 * _per_obj(scene.obj_ambient, hit.obj, st.n_objects)[None, :]
+        + diffuse_c3
+        * _per_obj(scene.obj_diffuse, hit.obj, st.n_objects)[None, :]
+        + spec_c3 * spec_coef[None, :]
     )
-    hc_reflective = spec_c
+    hc_reflective = spec_c3
 
     ior = _per_obj(scene.obj_ior, hit.obj, st.n_objects)
-    kr = fresnel(rd, normal, ior)
-    hc_transparent = spec_c * kr[:, None]
+    kr = fresnel_r(rd3, normal3, ior)
+    hc_transparent = spec_c3 * kr[None, :]
 
     hc = jnp.where(
-        (mat == MAT_DIFFUSE)[:, None],
+        (mat == MAT_DIFFUSE)[None, :],
         hc_diffuse,
         jnp.where(
-            (mat == MAT_PHONG)[:, None],
+            (mat == MAT_PHONG)[None, :],
             hc_phong,
-            jnp.where((mat == MAT_REFLECTIVE)[:, None], hc_reflective,
+            jnp.where((mat == MAT_REFLECTIVE)[None, :], hc_reflective,
                       hc_transparent),
         ),
     )
-    contrib = contrib + jnp.where(hit_m[:, None], weight[:, None] * hc, 0.0)
+    contrib3 = contrib3 + jnp.where(hit_m[None, :], weight[None, :] * hc, 0.0)
 
     # ---- continuations ----
-    bias_v = scene.bias[None, None] * normal
-    rdn = dot(rd, normal)
+    bias_v3 = scene.bias[None, None] * normal3
+    rdn = dot_r(rd3, normal3)
 
     is_refl = hit_m & (mat == MAT_REFLECTIVE)
     is_trans = hit_m & (mat == MAT_TRANSPARENT)
 
     # Reflective child (scene.cpp:856-858): dir NOT normalized there.
-    refl_dir_r = rd - 2.0 * rdn[:, None] * normal
-    refl_orig_r = hit_point + bias_v
+    refl_dir_r3 = rd3 - 2.0 * rdn[None, :] * normal3
+    refl_orig_r3 = hit_point3 + bias_v3
 
     if st.any_transparent:
         outside = rdn < 0
-        refr_dir = normalize(refract(rd, normal, ior))
-        refr_orig = jnp.where(
-            outside[:, None], hit_point - bias_v, hit_point + bias_v
+        refr_dir3 = normalize_r(refract_r(rd3, normal3, ior))
+        refr_orig3 = jnp.where(
+            outside[None, :], hit_point3 - bias_v3, hit_point3 + bias_v3
         )
-        refl_dir_t = normalize(reflect(rd, normal))
-        refl_orig_t = jnp.where(
-            outside[:, None], hit_point + bias_v, hit_point - bias_v
+        refl_dir_t3 = normalize_r(reflect_r(rd3, normal3))
+        refl_orig_t3 = jnp.where(
+            outside[None, :], hit_point3 + bias_v3, hit_point3 - bias_v3
         )
-        c1_dir = jnp.where(is_refl[:, None], refl_dir_r, refl_dir_t)
-        c1_orig = jnp.where(is_refl[:, None], refl_orig_r, refl_orig_t)
+        c1_dir3 = jnp.where(is_refl[None, :], refl_dir_r3, refl_dir_t3)
+        c1_orig3 = jnp.where(is_refl[None, :], refl_orig_r3, refl_orig_t3)
         c1_w = jnp.where(
             is_refl, weight * 0.8, jnp.where(is_trans, weight * kr, 0.0)
         )
-        c2_dir = refr_dir
-        c2_orig = refr_orig
+        c2_dir3 = refr_dir3
+        c2_orig3 = refr_orig3
         c2_w = jnp.where(is_trans & (kr < 1.0), weight * (1.0 - kr), 0.0)
     else:
-        c1_dir = refl_dir_r
-        c1_orig = refl_orig_r
+        c1_dir3 = refl_dir_r3
+        c1_orig3 = refl_orig_r3
         c1_w = jnp.where(is_refl, weight * 0.8, 0.0)
-        c2_dir = rd
-        c2_orig = ro
+        c2_dir3 = rd3
+        c2_orig3 = ro3
         c2_w = jnp.zeros_like(weight)
 
     return BlockOut(
-        contrib3=contrib.T,
-        c1_ro3=c1_orig.T, c1_rd3=c1_dir.T, c1_w=c1_w,
-        c2_ro3=c2_orig.T, c2_rd3=c2_dir.T, c2_w=c2_w,
+        contrib3=contrib3,
+        c1_ro3=c1_orig3, c1_rd3=c1_dir3, c1_w=c1_w,
+        c2_ro3=c2_orig3, c2_rd3=c2_dir3, c2_w=c2_w,
         stats=stats,
     )
 
@@ -752,7 +765,7 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
 
     def body(args):
         ro3, rd3, w = args
-        out = _bounce_block(scene, ro3.T, rd3.T, w, w > min_w)
+        out = _bounce_block(scene, ro3, rd3, w, w > min_w)
         return out
 
     out = jax.lax.map(body, (queue.ro3, queue.rd3, queue.weight))
@@ -787,7 +800,7 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
         c_rd = flat3(out.c1_rd3)
         c_w = out.c1_w.reshape(q)
         active = c_w > min_w
-        key = jnp.where(active, morton_key(c_ro.T), jnp.uint32(0xFFFFFFFF))
+        key = jnp.where(active, morton_key_r(c_ro), jnp.uint32(0xFFFFFFFF))
         order = jnp.argsort(key, stable=True)
         return Queue(
             ro3=jnp.moveaxis(c_ro[:, order].reshape(3, nb, B), 1, 0),
@@ -811,7 +824,7 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
     cand_w = jnp.where(cand_w > min_w, cand_w, 0.0)
 
     key = jnp.where(
-        cand_w > min_w, morton_key(cand_ro.T), jnp.uint32(0xFFFFFFFF)
+        cand_w > min_w, morton_key_r(cand_ro), jnp.uint32(0xFFFFFFFF)
     )
     order = jnp.argsort(key, stable=True)[:q]
     kept_w = cand_w[order]
@@ -892,12 +905,12 @@ def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
     if st.any_bouncing:
         def tail_block(args):
             rd3, w = args
-            sky = sample_skybox(
+            sky3 = sample_skybox_r(
                 scene.skybox if st.settings.use_skybox else None,
-                rd3.T, scene.bg_color,
+                rd3, scene.bg_color,
             )
             active = w > st.settings.min_weight
-            return jnp.where(active[None, :], w[None, :] * sky.T, 0.0)
+            return jnp.where(active[None, :], w[None, :] * sky3, 0.0)
 
         tail3 = jax.lax.map(tail_block, (queue.rd3, queue.weight))
         nb, _, B = queue.ro3.shape
@@ -930,16 +943,14 @@ def shade_normals(scene, ro, rd, *, ray_block: int = DEFAULT_RAY_BLOCK):
 
     def body(args):
         ro3_b, rd3_b = args
-        ro_b = ro3_b.T
-        rd_b = rd3_b.T
-        hit, _ = trace_closest(scene, ro_b, rd_b)
-        hit_point = ro_b + rd_b * jnp.where(hit.hit, hit.t, 1.0)[:, None]
-        normal, _ = surface_data(scene, hit, hit_point)
-        sky = sample_skybox(
-            scene.skybox if st.settings.use_skybox else None, rd_b,
+        hit, _ = trace_closest(scene, ro3_b, rd3_b)
+        hit_point3 = ro3_b + rd3_b * jnp.where(hit.hit, hit.t, 1.0)[None, :]
+        normal3, _ = surface_data(scene, hit, hit_point3)
+        sky3 = sample_skybox_r(
+            scene.skybox if st.settings.use_skybox else None, rd3_b,
             scene.bg_color,
         )
-        return jnp.where(hit.hit[None, :], (normal / 2.0 + 0.5).T, sky.T)
+        return jnp.where(hit.hit[None, :], normal3 / 2.0 + 0.5, sky3)
 
     out = jax.lax.map(body, (ro3, rd3))  # (nb, 3, B)
     return jnp.moveaxis(out, 0, 1).reshape(3, nb * block)[:, :q]

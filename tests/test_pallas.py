@@ -156,6 +156,28 @@ def test_pallas_empty_mesh():
     assert int(jnp.sum(tri >= 0)) == 0
 
 
+def test_pallas_rays_row_matches():
+    """rays_row=True ((3, R) row inputs — the integrator's bounce-body
+    layout) must bit-match the (R, 3) interface in both modes,
+    including a ray count that doesn't divide the tile (padding)."""
+    scene = build_flagship_scene(width=64, height=32, enable_ssaa=False)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(333, aim=(-0.1, 0, -0.6), seed=13)
+    t_limit = jnp.asarray(
+        np.random.default_rng(13).uniform(0.5, 50, (333,)), jnp.float32
+    )
+    for mode in ("closest", "any"):
+        t1, tri1, _, _ = bruteforce_mesh_pallas(
+            mesh, ro, rd, t_limit, mode=mode, interpret=True
+        )
+        t2, tri2, _, _ = bruteforce_mesh_pallas(
+            mesh, ro.T, rd.T, t_limit, mode=mode, interpret=True,
+            rays_row=True,
+        )
+        np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_pallas_honest_stats():
     """collect_stats=True returns HONEST device-side counters: far
     fewer Moller-Trumbore evaluations than the dense R*T (the round-1
