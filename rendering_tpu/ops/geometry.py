@@ -98,7 +98,12 @@ def pvary_like(tree, *refs):
     def pv(x):
         have = set(getattr(jax.typeof(x), "vma", ()))
         missing = tuple(a for a in vma if a not in have)
-        return jax.lax.pvary(x, missing) if missing else x
+        if not missing:
+            return x
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:  # jax >= 0.9 name for pvary
+            return pcast(x, missing, to="varying")  # axis_name accepts a tuple
+        return jax.lax.pvary(x, missing)
 
     import jax.tree_util as jtu
 

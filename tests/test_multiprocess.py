@@ -86,7 +86,7 @@ def _free_port() -> int:
         s.close()
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     try:
         port = _free_port()
