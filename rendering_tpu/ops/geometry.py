@@ -110,39 +110,15 @@ def pvary_like(tree, *refs):
     return jtu.tree_map(pv, tree)
 
 
-def morton_key(p):
-    """Per-point 30-bit Morton (Z-curve) key, jnp/traced. p: (N, 3).
-    Points are quantized to a 1024^3 grid over the batch's own bounds
-    (stop_gradient — the key is discrete reordering metadata only).
-    Used to sort bounce/shadow ray queues so the intersection kernel's
-    ray tiles stay spatially coherent after reflection/refraction
-    scatters them (an incoherent 131k-ray any-hit measured 719 ms vs
-    50 ms Morton-sorted vs 11 ms screen-coherent on the 250k flagship).
-    """
-    import jax
-
-    p = jax.lax.stop_gradient(p)
-    lo = jnp.min(p, axis=0)
-    span = jnp.max(p, axis=0) - lo
-    span = jnp.where(span > 0, span, 1.0)
-    q = jnp.clip((p - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
-
-    def spread(x):
-        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
-        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249249)
-        return x
-
-    return (
-        spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-    )
-
-
 def morton_key_r(p3):
-    """morton_key on rows. p3: (3, N) -> (N,) uint32. Same quantization
-    and spread as morton_key (key values identical for the same
-    points)."""
+    """Per-point 30-bit Morton (Z-curve) key, jnp/traced. p3: (3, N) ->
+    (N,) uint32. Points are quantized to a 1024^3 grid over the batch's
+    own bounds (stop_gradient — the key is discrete reordering metadata
+    only). Used to sort bounce/shadow ray queues so the intersection
+    kernel's ray tiles stay spatially coherent after reflection/
+    refraction scatters them (an incoherent 131k-ray any-hit measured
+    719 ms vs 50 ms Morton-sorted vs 11 ms screen-coherent on the 250k
+    flagship)."""
     import jax
 
     p3 = jax.lax.stop_gradient(p3)

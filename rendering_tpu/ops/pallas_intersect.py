@@ -141,7 +141,11 @@ def _kernel(
                  #                 rows [ro xyz, rd xyz, 1/rd xyz, t0]
     t_ref,       # (1, BR) VMEM out — running best t (-1 = done, any-hit)
     tri_out_ref,  # (1, BR) VMEM out — running best triangle id
-    stats_ref=None,  # (1, 2) i32 SMEM out — [tri_tests, box_tests];
+    stats_ref=None,  # (1, 2) f32 SMEM out — [tri_tests, box_tests];
+                     # f32 like the host-side counters: totals exceed
+                     # int32 range within one large-mesh call (a work
+                     # oracle, not an exact sum — same contract as
+                     # integrator._zero_stats);
                      # present ONLY when collect_stats (one fewer
                      # per-step operand otherwise — each operand costs
                      # index-map/bookkeeping time every grid step)
@@ -159,8 +163,8 @@ def _kernel(
     if collect_stats:
         @pl.when(s == 0)
         def _init_stats():
-            stats_ref[0, 0] = 0
-            stats_ref[0, 1] = 0
+            stats_ref[0, 0] = 0.0
+            stats_ref[0, 1] = 0.0
 
     prev_tile = ptile_ref[jnp.maximum(s - 1, 0)]
     first = (s == 0) | (ptile_ref[s] != prev_tile)
@@ -229,7 +233,7 @@ def _cull_and_intersect(
     # collects statistics — exactly the reference's collectStatistics
     # gate (include/stats.h: counters are no-ops unless enabled).
     if collect_stats:
-        stats_ref[0, 1] = stats_ref[0, 1] + n_sub * br
+        stats_ref[0, 1] = stats_ref[0, 1] + jnp.float32(n_sub * br)
 
     for j in range(n_sub):
         t_run = t_ref[...]
@@ -241,8 +245,8 @@ def _cull_and_intersect(
         @pl.when(jnp.any(live))
         def _compute(j=j, live=live):
             if collect_stats:
-                stats_ref[0, 0] = stats_ref[0, 0] + tc * jnp.sum(
-                    live.astype(jnp.int32)
+                stats_ref[0, 0] = stats_ref[0, 0] + jnp.float32(tc) * jnp.sum(
+                    live.astype(jnp.float32)
                 )
             _intersect_chunk(
                 tri_ref, aux_ref, t_ref, tri_out_ref,
@@ -588,7 +592,7 @@ def _pallas_call(
             pl.BlockSpec((1, 2), lambda s, pt, pc, pv: (0, 0),
                          memory_space=pltpu.SMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S,),
@@ -613,7 +617,7 @@ def _pallas_call(
     )(ptile, psuper, plive, tri, cbox.reshape(-1, n_sub, 8), aux)
     if collect_stats:
         return out
-    return out[0], out[1], jnp.zeros((1, 2), jnp.int32)
+    return out[0], out[1], jnp.zeros((1, 2), jnp.float32)
 
 
 def bruteforce_mesh_pallas(
@@ -679,6 +683,18 @@ def bruteforce_mesh_pallas(
 
     if ray_tile is None:
         ray_tile = DEFAULT_RAY_TILE
+    # Power-of-two <= fallback tile: the kernel's lane-slice loop
+    # (`range(br // _MAX_COMPUTE_LANES)`) and the coarse-fallback
+    # retiling (`rp // ray_tile` with rp a multiple of 4096) both
+    # require it — a 1536-ray tile would silently skip rays 1024-1535
+    # of every tile. Guard the env knob / argument explicitly.
+    if ray_tile < 8 or ray_tile > _FALLBACK_RAY_TILE or (
+        ray_tile & (ray_tile - 1)
+    ):
+        raise ValueError(
+            f"ray_tile must be a power of two in [8, {_FALLBACK_RAY_TILE}],"
+            f" got {ray_tile}"
+        )
     n_tiles = -(-R // ray_tile)
     rp = n_tiles * ray_tile
     # The dense fallback needs static capacity for EVERY (tile, super)

@@ -217,12 +217,9 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
     """Jittable sharded render over `mesh` (1-D, axis 'rays').
     Returns (frame3 (3, H, W), aux) identical (up to f32 scheduling) to
     rendering_tpu.render.pipeline.render_scene."""
-    from rendering_tpu.render.pipeline import derive_mesh_tables, scene_ray_block
+    from rendering_tpu.render.pipeline import derive_mesh_tables
 
     scene = derive_mesh_tables(scene)
-    # Same SMEM-budget halving render_scene applies for many-chunk
-    # meshes (the per-tile order tables scale with rays x chunks).
-    ray_block = scene_ray_block(scene, ray_block)
     st = scene.static
     settings = st.settings
     if settings.show_ac:

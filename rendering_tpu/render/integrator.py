@@ -790,7 +790,7 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
         # Scatter mode (bouncing scene): Morton-sort the continuation
         # queue by origin so the next bounce's ray tiles stay spatially
         # coherent after reflection scatters them (incoherent tiles
-        # cost the intersection kernel ~60x; see ops.geometry.morton_key).
+        # cost the intersection kernel ~60x; see ops.geometry.morton_key_r).
         # Inactive lanes sort last. Pure reordering — contributions
         # ride with pix.
         def flat3(a):  # (nb, 3, B) -> (3, Q)
@@ -809,11 +809,8 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
             pix=queue.pix.reshape(q)[order].reshape(nb, B),
         ), accum3
 
-    # Two candidate children per ray -> stable top-Q, Morton-ordered:
-    # active paths sort by origin Z-curve key (spatially coherent ray
-    # tiles for the next bounce's intersection kernel), inactive lanes
-    # sort last so a drop (counted below, asserted zero by the golden
-    # suite) never displaces an active path for an inactive one.
+    # Two candidate children per ray -> weight-priority top-Q,
+    # Morton-ordered (see _compact_children).
     def flat3(a):  # (nb, 3, B) -> (3, Q)
         return jnp.moveaxis(a, 0, 1).reshape(3, q)
 
@@ -821,23 +818,42 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
     cand_rd = jnp.concatenate([flat3(out.c1_rd3), flat3(out.c2_rd3)], axis=1)
     cand_w = jnp.concatenate([out.c1_w.reshape(q), out.c2_w.reshape(q)])
     cand_pix = jnp.concatenate([pix_flat, pix_flat])
-    cand_w = jnp.where(cand_w > min_w, cand_w, 0.0)
-
-    key = jnp.where(
-        cand_w > min_w, morton_key_r(cand_ro), jnp.uint32(0xFFFFFFFF)
+    k_ro, k_rd, k_w, k_pix = _compact_children(
+        cand_ro, cand_rd, cand_w, cand_pix, q, min_w, stats
     )
-    order = jnp.argsort(key, stable=True)[:q]
+    return Queue(
+        ro3=jnp.moveaxis(k_ro.reshape(3, nb, B), 1, 0),
+        rd3=jnp.moveaxis(k_rd.reshape(3, nb, B), 1, 0),
+        weight=k_w.reshape(nb, B),
+        pix=k_pix.reshape(nb, B),
+    ), accum3
+
+
+def _compact_children(cand_ro, cand_rd, cand_w, cand_pix, capacity: int,
+                      min_w, stats):
+    """Compact 2Q candidate children to the queue capacity Q.
+
+    Weight-priority selection: when more than Q children stay active,
+    the Q LARGEST weights are kept (the reference's recursion never
+    drops, so any forced drop should be the smallest-error one — a
+    pure Morton-key top-Q would drop by spatial position instead).
+    The kept set is then Morton-ordered by origin for next-bounce ray
+    tile coherence; inactive lanes sort last so a drop never displaces
+    an active path for an inactive one. Drops are counted into
+    stats["paths_dropped"] (asserted zero by the golden suite)."""
+    cand_w = jnp.where(cand_w > min_w, cand_w, 0.0)
+    active = cand_w > min_w
+    worder = jnp.argsort(jnp.where(active, -cand_w, jnp.inf), stable=True)
+    keep = jnp.zeros(cand_w.shape, bool).at[worder[:capacity]].set(True)
+    key = jnp.where(
+        keep & active, morton_key_r(cand_ro), jnp.uint32(0xFFFFFFFF)
+    )
+    order = jnp.argsort(key, stable=True)[:capacity]
     kept_w = cand_w[order]
-    # Drop accounting: active candidates beyond the queue capacity.
-    n_active = jnp.sum((cand_w > min_w).astype(jnp.float32))
+    n_active = jnp.sum(active.astype(jnp.float32))
     n_kept = jnp.sum((kept_w > min_w).astype(jnp.float32))
     stats["paths_dropped"] = stats["paths_dropped"] + (n_active - n_kept)
-    return Queue(
-        ro3=jnp.moveaxis(cand_ro[:, order].reshape(3, nb, B), 1, 0),
-        rd3=jnp.moveaxis(cand_rd[:, order].reshape(3, nb, B), 1, 0),
-        weight=kept_w.reshape(nb, B),
-        pix=cand_pix[order].reshape(nb, B),
-    ), accum3
+    return cand_ro[:, order], cand_rd[:, order], kept_w, cand_pix[order]
 
 
 def _to_blocks(ro, rd, pix, weight, block):

@@ -199,17 +199,6 @@ def derive_mesh_tables(scene):
     return dataclasses.replace(scene, meshes=meshes)
 
 
-def scene_ray_block(scene, ray_block: int = DEFAULT_RAY_BLOCK) -> int:
-    """Scene-aware block size hook, shared by every render entry point
-    (render_scene, render_resumable, parallel.shard renderers).
-    Historical note: the round-1 kernel needed 64k blocks on many-chunk
-    meshes to keep its (n_tiles x chunks) SMEM order tables within the
-    1MB budget; the pair-compacted kernel's tables are O(live pairs),
-    so every scene takes the full default block now (fewer oracle
-    calls, better fixed-cost amortization)."""
-    return ray_block
-
-
 @functools.partial(jax.jit, static_argnames=("ray_block", "ssaa_capacity"))
 def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
                  ssaa_capacity: int | None = None):
@@ -223,7 +212,6 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
     scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
-    ray_block = scene_ray_block(scene, ray_block)
     if settings.show_ac:
         frame3 = _show_ac_pass(scene, ray_block=ray_block)
         return frame3, {"stats": _zero_stats(),
@@ -295,8 +283,18 @@ def render_with_progress(scene, *, strip_rows: int = 128,
 
     now = _now or _time.perf_counter
     st = scene.static.settings
+    if st.show_ac:
+        # showAC skips strips and SSAA (scene.cpp:607-635 renders the
+        # whole heatmap in one pass); delegate so the output matches
+        # render() instead of silently rendering the normal image.
+        frame3, aux = render_scene(scene, ray_block=ray_block)
+        frame = np.asarray(frame3).transpose(1, 2, 0)
+        _print("100%")
+        return frame, {
+            "stats": {k: float(v) for k, v in aux["stats"].items()},
+            "ssaa_masked": aux["ssaa_masked"],
+        }
     w, h = st.width, st.height
-    ray_block = scene_ray_block(scene, ray_block)
     n_strips = -(-h // strip_rows)
     accum3 = np.zeros((3, h * w), np.float32)
     last = now()
@@ -364,9 +362,16 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     from rendering_tpu.diff.checkpoint import load_checkpoint, save_checkpoint
 
     st = scene.static.settings
+    if st.show_ac:
+        # showAC is a single whole-frame debug pass (no strips, no
+        # SSAA) — delegate instead of stripping the normal image.
+        frame3, aux = render_scene(scene, ray_block=ray_block)
+        return (
+            np.asarray(frame3).transpose(1, 2, 0),
+            {"ssaa_masked": aux["ssaa_masked"]},
+        )
     w, h = st.width, st.height
     n_strips = -(-h // strip_rows)
-    ray_block = scene_ray_block(scene, ray_block)
 
     accum3 = np.zeros((3, h * w), np.float32)
     done = np.zeros((n_strips,), bool)

@@ -196,3 +196,18 @@ def test_pallas_honest_stats():
     # default: counters off (they serialize the kernel's scalar core)
     _, _, bt0, tt0 = bruteforce_mesh_pallas(mesh, ro, rd, interpret=True)
     assert int(tt0) == 0 and int(bt0) == 0
+
+
+def test_ray_tile_validation():
+    """Non-power-of-two ray tiles would silently skip the tail rays of
+    every tile in the kernel's lane-slice loop — rejected loudly."""
+    import pytest
+
+    scene = build_flagship_scene(width=16, height=8, enable_ssaa=False)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(64, aim=(-0.1, 0, -0.6), seed=5)
+    for bad in (1536, 0, 8192, 96):
+        with pytest.raises(ValueError, match="ray_tile"):
+            bruteforce_mesh_pallas(
+                mesh, ro, rd, interpret=True, ray_tile=bad
+            )

@@ -45,3 +45,32 @@ def test_progress_render_matches_and_prints(in_workspace):
     assert lines == ["33%", "67%", "100%"]
     # strip stats must cover the same primary rays as the one-shot
     assert aux["stats"]["rays_casted"] >= 64 * 48
+
+
+def test_progress_show_ac_delegates(in_workspace):
+    """show_ac is a single whole-frame debug pass: render_with_progress
+    must produce the AC heatmap (not silently strip-render the normal
+    image), identical to render()."""
+    scene = load_scene("t09_showac.scene", RenderSettings())
+    scene = _shrink(scene, 48, 32)
+    assert scene.static.settings.show_ac
+
+    f_ref, _ = render(scene)
+    lines = []
+    f_prog, aux = render_with_progress(
+        scene, strip_rows=16, _print=lines.append
+    )
+    np.testing.assert_array_equal(f_ref, f_prog)
+    assert lines == ["100%"]
+
+
+def test_resumable_show_ac_delegates(in_workspace, tmp_path):
+    from rendering_tpu.render.pipeline import render_resumable
+
+    scene = load_scene("t09_showac.scene", RenderSettings())
+    scene = _shrink(scene, 48, 32)
+    f_ref, _ = render(scene)
+    f_res, _ = render_resumable(
+        scene, str(tmp_path / "ck.msgpack"), strip_rows=16
+    )
+    np.testing.assert_array_equal(f_ref, f_res)

@@ -68,3 +68,51 @@ def test_total_internal_reflection():
     np.testing.assert_allclose(r, 0.0)
     f = float(fresnel(jnp.array([d]), jnp.array([n]), jnp.array([1.8]))[0])
     assert f == 1.0
+
+
+def test_compact_children_drops_smallest_weights():
+    """Transparent-queue overflow keeps the Q LARGEST weights (the
+    smallest-error drop policy), Morton-orders the kept set, and counts
+    the drops."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendering_tpu.render.integrator import (
+        _compact_children,
+        _zero_stats,
+    )
+
+    q = 8
+    rng = np.random.default_rng(3)
+    ro = jnp.asarray(rng.uniform(-1, 1, (3, 2 * q)), jnp.float32)
+    rd = jnp.asarray(rng.uniform(-1, 1, (3, 2 * q)), jnp.float32)
+    # 12 active candidates (> capacity 8), distinct weights.
+    w = jnp.asarray(
+        [0.9, 0.05, 0.8, 0.0, 0.7, 0.3, 0.02, 0.6,
+         0.5, 0.0, 0.4, 0.35, 0.0, 0.25, 0.15, 0.0],
+        jnp.float32,
+    )
+    pix = jnp.arange(2 * q, dtype=jnp.int32)
+    stats = _zero_stats()
+    k_ro, k_rd, k_w, k_pix = _compact_children(
+        ro, rd, w, pix, q, 0.01, stats
+    )
+    # Kept = the 8 largest of the 12 active weights, in SOME order.
+    expect = sorted([0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.35, 0.3])
+    np.testing.assert_allclose(sorted(np.asarray(k_w)), expect, atol=1e-6)
+    assert float(stats["paths_dropped"]) == 4.0
+    # Rays ride with their weights (pix identifies the candidate).
+    for i, p in enumerate(np.asarray(k_pix)):
+        np.testing.assert_array_equal(
+            np.asarray(k_ro[:, i]), np.asarray(ro[:, p])
+        )
+        np.testing.assert_allclose(float(k_w[i]), float(w[p]), atol=1e-6)
+
+    # No overflow: every active candidate survives, zero drops.
+    stats2 = _zero_stats()
+    w2 = jnp.where(w > 0.55, w, 0.0)
+    _, _, k_w2, _ = _compact_children(ro, rd, w2, pix, q, 0.01, stats2)
+    np.testing.assert_allclose(
+        sorted(np.asarray(k_w2))[-4:], [0.6, 0.7, 0.8, 0.9], atol=1e-6
+    )
+    assert float(stats2["paths_dropped"]) == 0.0

@@ -1,0 +1,99 @@
+"""Post-change TPU validation (run from a workspace dir, see the
+verify skill): renders a set of golden scenes on the REAL chip via the
+CLI and applies the CI tolerance logic, then compiles/runs one
+collect_stats oracle call (the f32-SMEM stats variant is TPU-only
+Mosaic code that interpret-mode tests cannot cover).
+
+Usage:
+  mkdir -p /tmp/vws/input && cd /tmp/vws
+  ln -sfn /root/reference/input/objects input/objects
+  ln -sfn /root/reference/input/skybox  input/skybox
+  cp -r /root/repo/tests/assets/maps input/maps
+  cp /root/repo/tests/scenes/*.scene .
+  python /root/repo/tools/tpu_validate.py [scene ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import numpy as np  # noqa: E402
+
+DEFAULT_SCENES = [
+    "t01_simple_shapes",
+    "t04_skybox",
+    "t09_showac",
+    "t10_shotgun",
+    "t13_reflective_full",
+]
+
+
+def check_scene(name: str) -> bool:
+    import jax
+
+    from rendering_tpu.cli import main
+    from rendering_tpu.utils.bmp import bmp_to_image, load_bmp
+    from test_golden import SCENE_TOL, DEFAULT_TOL, neighborhood_violations
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    out = f"/tmp/vws/{name}_tpu.bmp"
+    main([f"{name}.scene", "--output", out])
+    ours = bmp_to_image(load_bmp(out))
+    gold = bmp_to_image(load_bmp(f"/root/repo/tests/goldens/{name}.bmp"))
+    tol1, tol8, tolv = SCENE_TOL.get(name, DEFAULT_TOL)
+    d = np.abs(ours.astype(np.int16) - gold.astype(np.int16))[1:-1, 1:-1]
+    v = neighborhood_violations(ours, gold)[1:-1, 1:-1]
+    ok = (
+        (d > 1).mean() <= tol1
+        and (d > 8).mean() <= tol8
+        and v.mean() <= tolv
+    )
+    print(
+        f"{name}: d>1 {(d > 1).mean():.5f}/{tol1} d>8 {(d > 8).mean():.5f}"
+        f"/{tol8} viol {v.mean():.5f}/{tolv} -> {'OK' if ok else 'FAIL'}",
+        flush=True,
+    )
+    return ok
+
+
+def check_stats_kernel() -> bool:
+    import jax
+
+    from rendering_tpu.flagship import build_flagship_scene
+    from rendering_tpu.ops.pallas_intersect import bruteforce_mesh_pallas
+
+    scene = build_flagship_scene(width=64, height=32, enable_ssaa=False)
+    mesh = scene.meshes[0]
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    ro = jnp.asarray(rng.uniform(-1, 1, (512, 3)), jnp.float32)
+    rd = jnp.asarray(
+        rng.uniform(-1, 1, (512, 3)) + np.array([0, 0, -2.0]), jnp.float32
+    )
+    t, tri, bt, tt = jax.jit(
+        lambda ro, rd: bruteforce_mesh_pallas(
+            mesh, ro, rd, collect_stats=True
+        )
+    )(ro, rd)
+    jax.block_until_ready(tt)
+    ok = float(tt) >= 0 and float(bt) > 0
+    print(f"stats kernel: tri_tests={float(tt):.3e} box_tests="
+          f"{float(bt):.3e} -> {'OK' if ok else 'FAIL'}", flush=True)
+    return ok
+
+
+def main_() -> int:
+    scenes = sys.argv[1:] or DEFAULT_SCENES
+    ok = check_stats_kernel()
+    for s in scenes:
+        ok = check_scene(s) and ok
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main_())

@@ -1,28 +1,28 @@
 #!/bin/bash
-# Wait for the axon TPU tunnel to come back, then run the kernel-shape
-# A/B benches (ROADMAP item 4) sequentially: baseline x2 (variance),
-# tc=32/n_sub=16, ray_tile=256. One TPU process at a time (tunnel
-# serializes anyway). Results append to $LOG as labelled JSON lines.
+# Wait for the axon TPU tunnel to come back, then (1) re-bench the
+# committed config at both mesh sizes (measures the (3, B) row-layout
+# refactor, which landed after the last chip session), (2) run the
+# TPU golden + stats-kernel validation. The tc=32/n_sub=16 and
+# ray_tile=256 kernel-shape experiments already ran on-chip earlier
+# (tc32 4.17M, rt256 3.52M vs committed 4.84M rays/s — both lose;
+# /tmp/vws/bench_*.out), so they are not repeated. One TPU process at
+# a time. Results append to $LOG.
 set -u
 cd /root/repo
 LOG=${LOG:-/tmp/ab_results.log}
 
-echo "=== tpu_watch_ab start $(date -u +%FT%TZ) ===" >> "$LOG"
+echo "=== tpu_watch v2 start $(date -u +%FT%TZ) ===" >> "$LOG"
 until timeout 120 python -c "import jax; assert jax.default_backend() == 'tpu'" 2>/dev/null; do
   echo "tunnel down $(date -u +%FT%TZ)" >> "$LOG"
   sleep 180
 done
 echo "tunnel UP $(date -u +%FT%TZ)" >> "$LOG"
 
-run() {
-  local label=$1; shift
-  echo "--- $label $(date -u +%FT%TZ)" >> "$LOG"
-  env "$@" BENCH_TRIS=250000 BENCH_REPS=3 timeout 3000 python bench.py >> "$LOG" 2>&1
-  echo "--- $label done rc=$? $(date -u +%FT%TZ)" >> "$LOG"
-}
+echo "--- bench dual-size $(date -u +%FT%TZ)" >> "$LOG"
+timeout 4000 python bench.py >> "$LOG" 2>&1
+echo "--- bench done rc=$? $(date -u +%FT%TZ)" >> "$LOG"
 
-run baseline1
-run baseline2
-run tc32_sub16 RT_TRI_CHUNK=32 RT_N_SUB=16
-run raytile256 RT_RAY_TILE=256
-echo "=== tpu_watch_ab done $(date -u +%FT%TZ) ===" >> "$LOG"
+echo "--- tpu_validate $(date -u +%FT%TZ)" >> "$LOG"
+(cd /tmp/vws && timeout 4000 python /root/repo/tools/tpu_validate.py) >> "$LOG" 2>&1
+echo "--- tpu_validate done rc=$? $(date -u +%FT%TZ)" >> "$LOG"
+echo "=== tpu_watch v2 done $(date -u +%FT%TZ) ===" >> "$LOG"
