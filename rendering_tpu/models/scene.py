@@ -345,9 +345,7 @@ def build_scene(sd: SceneDef) -> SceneData:
             meshes[-1] = dataclasses.replace(
                 meshes[-1],
                 itables=build_intersect_tables(
-                    host_mesh,
-                    tri_chunk=default_tri_chunk(t_count),
-                    use_root_filter=st.use_ac and clipped,
+                    host_mesh, tri_chunk=default_tri_chunk(t_count)
                 ),
             )
             mesh_statics.append(

@@ -351,11 +351,9 @@ class IntersectTables:
     topology is stop_gradient'd anyway, and accepted hits are
     re-evaluated from live vertices)."""
 
-    def __init__(self, tri_chunk, n_sub, use_root_filter, perm, tri,
-                 cbox, sbox):
+    def __init__(self, tri_chunk, n_sub, perm, tri, cbox, sbox):
         self.tri_chunk = tri_chunk   # cull-chunk triangles (Tc)
         self.n_sub = n_sub           # cull chunks per super (DMA) chunk
-        self.use_root_filter = use_root_filter
         self.perm = perm      # (T,) i32 or None
         self.tri = tri        # (Cs, 16, n_sub*Tc)
         self.cbox = cbox      # (Cs*n_sub, 8) cull-chunk AABBs
@@ -364,12 +362,12 @@ class IntersectTables:
     def tree_flatten(self):
         return (
             (self.perm, self.tri, self.cbox, self.sbox),
-            (self.tri_chunk, self.n_sub, self.use_root_filter),
+            (self.tri_chunk, self.n_sub),
         )
 
     @classmethod
     def tree_unflatten(cls, static, dyn):
-        return cls(static[0], static[1], static[2], *dyn)
+        return cls(static[0], static[1], *dyn)
 
 
 jax.tree_util.register_pytree_node(
@@ -410,15 +408,22 @@ def default_tri_chunk(n_tris: int) -> int:
 DEFAULT_SUB_PER_SUPER = int(os.environ.get("RT_N_SUB", "8"))
 
 
-def build_intersect_tables(
-    mesh, *, tri_chunk: int = 256, use_root_filter: bool = True
-):
+def build_intersect_tables(mesh, *, tri_chunk: int = 256):
     """Build the kernel-format chunk tables for a mesh. Call once per
     scene build. Pure NUMPY on the host: a jnp formulation compiled
     ~27 XLA programs per mesh, which costs minutes per scene over the
-    remote-compile TPU tunnel; the host math is milliseconds."""
+    remote-compile TPU tunnel; the host math is milliseconds. The
+    tables are independent of every render flag (use_root_filter etc.
+    only change the KERNEL's behavior), so one build serves any
+    settings surgery applied after build_scene."""
     import numpy as np
 
+    if isinstance(mesh.v, jax.core.Tracer):
+        raise TypeError(
+            "build_intersect_tables is host-side numpy; build tables at "
+            "scene-build time (models.scene.build_scene bakes mesh.itables) "
+            "instead of under jit"
+        )
     T = int(mesh.v.shape[0])
     if T == 0:
         return None
@@ -475,7 +480,7 @@ def build_intersect_tables(
         axis=1,
     ).astype(np.float32)  # (Cs, 8)
     return IntersectTables(
-        tri_chunk, n_sub, use_root_filter,
+        tri_chunk, n_sub,
         None if perm is None else jnp.asarray(perm),
         jnp.asarray(tri), jnp.asarray(cbox), jnp.asarray(sbox),
     )
@@ -641,8 +646,9 @@ def bruteforce_mesh_pallas(
     ops.bruteforce.bruteforce_mesh; in any-hit mode the returned tri is
     0 where the ray is occluded within t_limit and -1 otherwise (t is
     FLT_MAX). Pass prebuilt `tables` (build_intersect_tables) to skip
-    in-graph table construction; they must match tri_chunk and
-    use_root_filter. Returns (t, tri, box_tests, tri_tests) with
+    host-side table construction (required under jit — the build is
+    host numpy); table content is independent of every render flag.
+    Returns (t, tri, box_tests, tri_tests) with
     box/tri test counters accumulated honestly on-device when
     collect_stats=True (0 otherwise — the counting serializes the
     kernel's scalar pipeline, so it is opt-in like the reference's
@@ -668,14 +674,11 @@ def bruteforce_mesh_pallas(
     if tables is None:
         if tri_chunk is None:
             tri_chunk = default_tri_chunk(T)
-        tables = build_intersect_tables(
-            mesh, tri_chunk=tri_chunk, use_root_filter=use_root_filter
-        )
+        tables = build_intersect_tables(mesh, tri_chunk=tri_chunk)
     else:
         if tri_chunk is not None:
             assert tables.tri_chunk == tri_chunk
         tri_chunk = tables.tri_chunk
-        assert tables.use_root_filter == use_root_filter
     tb = tables
     n_sub = tb.n_sub
     n_super = tb.sbox.shape[0]
@@ -768,7 +771,11 @@ def bruteforce_mesh_pallas(
         m * n_tiles for m in _S_BUCKETS if m * n_tiles < n_tiles * n_super
     ]
     if not buckets:
-        t_out, tri_out, stats = bucket_call(n_tiles * n_super)
+        # No ladder rungs below all-pairs: take the fallback directly
+        # (== the fine all-pairs call when its SMEM tables fit, the
+        # coarse <=16-wide retiling otherwise — small-n_super meshes
+        # with huge batched-shadow ray counts hit the latter).
+        t_out, tri_out, stats = fallback_call()
     else:
         def make_branch(s_cap, inner):
             return lambda: jax.lax.cond(

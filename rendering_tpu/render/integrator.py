@@ -167,11 +167,11 @@ def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
             kw["collect_stats"] = settings.collect_statistics
             kw["rays_row"] = True  # (3, Q) straight through — no relayout
             tables = getattr(mesh, "itables", None)
-            if (
-                tables is not None
-                and tables.use_root_filter == root_filter
-            ):
-                # Baked tables own the chunking decision (per-mesh size).
+            if tables is not None:
+                # Baked tables own the chunking decision (per-mesh
+                # size). Table content is flag-independent (root
+                # filtering etc. are kernel args), so one build serves
+                # any post-build settings surgery.
                 kw["tables"] = tables
                 kw["tri_chunk"] = tables.tri_chunk
         elif settings.use_mxu_intersect:

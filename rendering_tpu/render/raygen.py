@@ -40,7 +40,7 @@ def pixel_dirs(scene, xs, ys, offset_x: float, offset_y: float):
 
 def tile_dims(w: int, h: int, tw: int = 32, th: int = 16):
     """Largest tile dims <= (tw, th) that divide the frame exactly.
-    With exact tiling the tile_order permutation is a pure reshape +
+    With exact tiling the screen-tile permutation is a pure reshape +
     transpose, so the primary pass can invert it with a transpose
     instead of a 4M-lane scatter/gather (see pipeline._primary_pass)."""
     while tw > 1 and w % tw:
@@ -50,30 +50,12 @@ def tile_dims(w: int, h: int, tw: int = 32, th: int = 16):
     return tw, th
 
 
-def tile_order(w: int, h: int, tw: int = 32, th: int = 16):
-    """Pixel permutation grouping screen tiles of tw x th contiguously
-    (row-major within a tile, tiles row-major; ragged edges fold into
-    their tile). The TPU analogue of the reference's 128x128 tile
-    scheduler (src/scene.cpp:362-379) — here tiles exist so that each
-    ray batch the intersection kernel sees is a compact screen rect,
-    which maximizes its per-chunk AABB culling. Pure reordering: the
-    pix ids carried through the scatter-add make the frame identical.
-    """
-    import numpy as np
-
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    key = (
-        ((ys // th) * ((w + tw - 1) // tw) + (xs // tw)) * (tw * th)
-        + (ys % th) * tw
-        + (xs % tw)
-    )
-    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
-
-
 def primary_rays(scene, offset: float = 1.0, *, tiled: bool = True):
     """Full-frame ray grid. Pixel id (pix = y*W + x) rides with each
-    ray; rays are emitted in screen-tile order when `tiled` (see
-    tile_order) so downstream blocks are spatially coherent.
+    ray; rays are emitted in screen-tile order when `tiled` — the TPU
+    analogue of the reference's 128x128 tile scheduler
+    (src/scene.cpp:362-379): each ray batch the intersection kernel
+    sees is a compact screen rect, maximizing per-chunk AABB culling.
     Returns (ro, rd, pix) with shapes (R, 3), (R, 3), (R,)."""
     st = scene.static.settings
     w, h = st.width, st.height

@@ -16,7 +16,6 @@ image_name=golden/cli_smoke
 enableOutput=0
 outputProgress={progress}
 collectStatistics=1
-enableSSAA=0
 
 [light]
 type=distant

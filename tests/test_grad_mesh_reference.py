@@ -48,7 +48,6 @@ background_color=0.1,0.12,0.2
 image_name=golden/fdmesh
 enableOutput=0
 outputProgress=0
-enableSSAA=0
 
 [light]
 type=point
@@ -129,7 +128,7 @@ def test_vertex_grad_matches_reference_fd(workspace):
     from rendering_tpu.models.settings import RenderSettings
     from rendering_tpu.render.pipeline import render_scene
 
-    binary = build_reference()
+    binary = build_reference(ssaa=False)
     ws = str(workspace)
     os.makedirs(os.path.join(ws, "input", "objects"), exist_ok=True)
     z0, faces, perturbed = _grid_geometry()
@@ -141,7 +140,9 @@ def test_vertex_grad_matches_reference_fd(workspace):
     old = os.getcwd()
     os.chdir(ws)
     try:
-        scene = load_scene("fdmesh.scene", RenderSettings())
+        # SSAA off on both sides (reference: enableSSAA=false build —
+        # no scene key exists; ours: settings flag).
+        scene = load_scene("fdmesh.scene", RenderSettings(enable_ssaa=False))
     finally:
         os.chdir(old)
 
@@ -162,8 +163,22 @@ def test_vertex_grad_matches_reference_fd(workspace):
     # 3 / (N / Z_CENTER).
     scale_z = (3.0 / (N / Z_CENTER)) / Z_CENTER  # = 3 / N
     pset = set(perturbed)
+    # build_scene stores triangles Morton-permuted (stored row t = OBJ
+    # face mp[t]), so gradient rows must be mapped back to emit-order
+    # faces through the same permutation it computes (morton_order on
+    # the loaded, pre-permutation vertices).
+    from rendering_tpu.accel.bvh import morton_order
+    from rendering_tpu.models.objloader import load_obj
+
+    m_load = load_obj(
+        os.path.join(ws, "input", "objects", "fdmesh.obj"),
+        size=(3.0, 3.0, 1.0), rot=(0.0, 0.0, 0.0), pos=(0.0, 0.0, -4.0),
+    )
+    mp = np.asarray(morton_order(m_load.v))
+    assert len(mp) == len(faces)
     g_obj = 0.0
-    for t, (a, b, c) in enumerate(faces):
+    for t in range(len(faces)):
+        a, b, c = faces[int(mp[t])]
         for corner, vid in enumerate((a, b, c)):
             if vid in pset:
                 g_obj += float(gv[t, corner, 2])

@@ -40,7 +40,6 @@ background_color=0.52,0.8,0.92
 image_name=golden/fdgrad
 enableOutput=0
 outputProgress=0
-enableSSAA=0
 
 [light]
 type=distant
@@ -107,7 +106,9 @@ def _our_loss_and_grads(ws):
     old = os.getcwd()
     os.chdir(ws)
     try:
-        scene = load_scene("fdgrad.scene", RenderSettings())
+        # SSAA off (the reference side uses the enableSSAA=false build;
+        # there is no scene key for it — options.h:36 is compile-time).
+        scene = load_scene("fdgrad.scene", RenderSettings(enable_ssaa=False))
     finally:
         os.chdir(old)
 
@@ -129,7 +130,7 @@ def _our_loss_and_grads(ws):
 def test_grad_matches_reference_fd(workspace):
     from gen_goldens import build_reference
 
-    binary = build_reference()
+    binary = build_reference(ssaa=False)
     ws = str(workspace)
 
     g_int, g_red = _our_loss_and_grads(ws)

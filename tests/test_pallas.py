@@ -136,7 +136,7 @@ def test_pallas_prebuilt_tables_match():
     scene = build_flagship_scene(width=64, height=32, enable_ssaa=False)
     mesh = scene.meshes[0]
     ro, rd = _rays(300, aim=(-0.1, 0, -0.6), seed=5)
-    tbl = build_intersect_tables(mesh, tri_chunk=256, use_root_filter=True)
+    tbl = build_intersect_tables(mesh, tri_chunk=256)
     t1, tri1, _, _ = bruteforce_mesh_pallas(
         mesh, ro, rd, tri_chunk=256, interpret=True
     )

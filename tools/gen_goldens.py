@@ -22,24 +22,51 @@ BINARY = os.path.join(GOLDEN_DIR, "RayTracing")
 WS = os.path.join(GOLDEN_DIR, "ws")
 
 
-def build_reference() -> str:
+def build_reference(ssaa: bool = True) -> str:
     """Compile the reference directly with g++ (its CMakeLists writes
-    into the reference tree, which we must not touch)."""
-    if os.path.exists(BINARY):
-        return BINARY
+    into the reference tree, which we must not touch).
+
+    ssaa=False builds a second binary from a patched COPY of the tree
+    with `options::enableSSAA = false` (options.h:36 — a compile-time
+    global the scene grammar cannot override). The FD gradient tests
+    use it: the Sobel mask flips discontinuously under scene
+    perturbations, while jax.grad differentiates with the mask held
+    fixed, so SSAA must be off on BOTH sides for a clean FD check."""
+    binary = BINARY if ssaa else BINARY + "_nossaa"
+    if os.path.exists(binary):
+        return binary
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    src_root = REFERENCE
+    if not ssaa:
+        src_root = os.path.join(GOLDEN_DIR, "ref_nossaa")
+        if not os.path.isdir(src_root):
+            for d in ("src", "include"):
+                shutil.copytree(
+                    os.path.join(REFERENCE, d), os.path.join(src_root, d),
+                    dirs_exist_ok=True,
+                )
+            opts = os.path.join(src_root, "include", "options.h")
+            with open(opts) as f:
+                text = f.read()
+            patched = text.replace(
+                "inline bool enableSSAA\t\t\t\t= true;",
+                "inline bool enableSSAA\t\t\t\t= false;",
+            )
+            assert patched != text, "options.h enableSSAA line not found"
+            with open(opts, "w") as f:
+                f.write(patched)
     srcs = sorted(
-        os.path.join(REFERENCE, "src", f)
-        for f in os.listdir(os.path.join(REFERENCE, "src"))
+        os.path.join(src_root, "src", f)
+        for f in os.listdir(os.path.join(src_root, "src"))
         if f.endswith(".cpp")
     )
     cmd = [
         "g++", "-O2", "-std=c++17",
-        "-I", os.path.join(REFERENCE, "include"),
-        *srcs, "-o", BINARY, "-pthread",
+        "-I", os.path.join(src_root, "include"),
+        *srcs, "-o", binary, "-pthread",
     ]
     subprocess.run(cmd, check=True)
-    return BINARY
+    return binary
 
 
 def setup_workspace() -> str:
