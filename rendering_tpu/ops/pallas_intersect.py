@@ -113,6 +113,11 @@ _FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 # at 4 rungs (a 6-rung ladder doubled scene compile time for <1%).
 _S_BUCKETS = (4, 8, 12, 16)
 _FALLBACK_RAY_TILE = 4096
+# SMEM budget (bytes-ish) for the dense all-pairs fallback's three
+# (n_tiles * n_super,) i32 step tables at the FINE tiling; beyond it
+# the fallback re-tiles coarsely. Module constant so tests can force
+# the coarse path on small workloads.
+_FINE_FB_LIMIT = 200_000
 # Widest lane slice a single (Tc, lanes) compute may use — bounds the
 # VPU temporaries (Mosaic's scoped-VMEM stack is 16MB).
 _MAX_COMPUTE_LANES = 1024
@@ -704,7 +709,7 @@ def bruteforce_mesh_pallas(
     # pair; if that table would strain SMEM at the fine tiling, the
     # fallback re-tiles coarsely (<= 16 wide tiles, lane-sliced in the
     # kernel), and the ray padding must accommodate both tilings.
-    fine_fb_ok = n_tiles * n_super * 12 <= 200_000
+    fine_fb_ok = n_tiles * n_super * 12 <= _FINE_FB_LIMIT
     if not fine_fb_ok:
         m = -(-rp // _FALLBACK_RAY_TILE)
         nt_fb = min(16, m)

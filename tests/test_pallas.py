@@ -211,3 +211,69 @@ def test_ray_tile_validation():
             bruteforce_mesh_pallas(
                 mesh, ro, rd, interpret=True, ray_tile=bad
             )
+
+
+def _overflow_mesh(n_tris=700, rays=200, seed=11):
+    """Workload whose live-pair total exceeds a 1x-n_tiles bucket
+    ladder (rays aimed at the mesh -> several live supers per tile)."""
+    mesh_arrays = procedural_mesh(n_tris, pos=(0, 0, -3), size=(2, 2, 2))
+    sd = SceneDef(settings=RenderSettings(width=8, height=8))
+    obj = ObjectDef("mesh", pos=(0, 0, -3), size=(2, 2, 2), color=(1, 1, 1))
+    obj.mesh = mesh_arrays
+    sd.objects = [obj]
+    scene = build_scene(sd)
+    mesh = scene.meshes[0]
+    ro, rd = _rays(rays, aim=(0, 0, -3), seed=seed)
+    return mesh, ro, rd
+
+
+@pytest.mark.parametrize("mode", ["closest", "any"])
+def test_fallback_fine_all_pairs(monkeypatch, mode):
+    """Ladder overflow -> FINE all-pairs fallback (shrunk ladder forces
+    the lax.cond chain to fall through to fallback_call). Results must
+    equal the jnp oracle exactly."""
+    import rendering_tpu.ops.pallas_intersect as pi
+
+    mesh, ro, rd = _overflow_mesh()
+    t_limit = jnp.full((ro.shape[0],), 8.0, jnp.float32)
+    t1, tri1, _, _ = bruteforce_mesh(mesh, ro, rd, t_limit, tri_chunk=16)
+
+    monkeypatch.setattr(pi, "_S_BUCKETS", (1,))
+    t2, tri2, _, _ = pi.bruteforce_mesh_pallas(
+        mesh, ro, rd, t_limit, tri_chunk=16, ray_tile=64, interpret=True,
+        mode=mode,
+    )
+    if mode == "closest":
+        np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(tri1 >= 0), np.asarray(tri2 >= 0)
+        )
+
+
+@pytest.mark.parametrize("empty_ladder", [False, True])
+def test_fallback_coarse_retile(monkeypatch, empty_ladder):
+    """SMEM-strained fallback -> COARSE (<=16-wide) retiled all-pairs
+    call. empty_ladder=True is the review-found bug case: n_super <= 4
+    leaves no ladder rungs and the code must STILL take the coarse
+    fallback, not the fine all-pairs call."""
+    import rendering_tpu.ops.pallas_intersect as pi
+
+    if empty_ladder:
+        # 700 tris / tri_chunk 32 -> 22 chunks -> n_super 3: no rungs.
+        tc = 32
+    else:
+        tc = 16  # 44 chunks -> n_super 6: rungs exist, ladder shrunk
+        monkeypatch.setattr(pi, "_S_BUCKETS", (1,))
+    monkeypatch.setattr(pi, "_FINE_FB_LIMIT", 0)
+
+    mesh, ro, rd = _overflow_mesh()
+    t1, tri1, _, _ = bruteforce_mesh(mesh, ro, rd, tri_chunk=tc)
+    t2, tri2, _, _ = pi.bruteforce_mesh_pallas(
+        mesh, ro, rd, tri_chunk=tc, ray_tile=64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+    both = np.asarray((tri1 >= 0) & (tri2 >= 0))
+    np.testing.assert_allclose(
+        np.asarray(t1)[both], np.asarray(t2)[both], rtol=2e-5, atol=2e-6
+    )
