@@ -49,16 +49,9 @@ class RenderSettings:
     # Max triangles tested per traversal step; BVH leaves are chunked to
     # this size at flatten time so the lockstep traversal is shape-static.
     leaf_chunk: int = 8
-    # Ray-queue capacity per bounce as a fraction of the pixel count.
-    # 1.0 reproduces the reference's full Whitted tree for any scene in
-    # which at most `width*height` secondary paths are live per bounce
-    # (always true in practice; overflow drops lowest-weight paths).
-    queue_fraction: float = 1.0
     # Paths with throughput below this weight are terminated early.
     # 0.0 = exact Whitted tree to max_ray_depth (reference behaviour).
     min_weight: float = 0.0
-    # Computation dtype for the wavefront ("float32" matches reference).
-    dtype: str = "float32"
     # Meshes up to this many triangles use the dense chunked
     # Moller-Trumbore fast path (ops/bruteforce.py) instead of the
     # lockstep BVH walk — on TPU the gather-bound walk only wins for
@@ -78,6 +71,13 @@ class RenderSettings:
     # pixel count. Edge pixels are compacted to this many slots; if the
     # Sobel mask exceeds it, the overflow count is reported host-side.
     ssaa_capacity_fraction: float = 0.25
+    # Texture-map filtering: "nearest" reproduces the reference exactly
+    # (objects.cpp:144-172 truncating index math); "bilinear" blends the
+    # 4 surrounding texels — smooth in-texture gradients for inverse
+    # rendering (nearest's UV-space gradient is zero a.e.), at 4x the
+    # gather volume. Applies to diffuse/normal/specular maps; the
+    # skybox keeps the reference's nearest lookup either way.
+    texture_filter: str = "nearest"
 
     def replace(self, **kw) -> "RenderSettings":
         return dataclasses.replace(self, **kw)

@@ -74,7 +74,27 @@ from rendering_tpu.ops.shading import (
     spec_pow,
 )
 from rendering_tpu.ops.skybox import sample_skybox_r
-from rendering_tpu.ops.texture import sample_map_r, sample_packed_r
+from rendering_tpu.ops.texture import (
+    sample_map_bilinear_r,
+    sample_map_r,
+    sample_packed_bilinear_r,
+    sample_packed_r,
+)
+
+
+def _samplers(settings):
+    """Map-sampling functions for the configured texture_filter:
+    (packed (rows, R) sampler, per-map (C, R) sampler). "nearest" is
+    the reference's truncating index math (objects.cpp:144-172);
+    "bilinear" is the smooth-gradient framework extension."""
+    if settings.texture_filter == "bilinear":
+        return sample_packed_bilinear_r, sample_map_bilinear_r
+    if settings.texture_filter != "nearest":
+        raise ValueError(
+            f"texture_filter must be 'nearest' or 'bilinear', "
+            f"got {settings.texture_filter!r}"
+        )
+    return sample_packed_r, sample_map_r
 from rendering_tpu.ops.traversal import traverse_bvh
 
 # Rays per block of the bounce body (bounds every per-ray temporary).
@@ -418,9 +438,10 @@ def surface_data(scene, hit: Hit, hit_point3, *, want_maps: bool = False):
                 (g[3:6] * hit.u[None] + g[6:9] * hit.v[None]
                  + g[0:3] * w0[None]) / 3.0
             )
+            packed_fn, map_fn = _samplers(st.settings)
             g7 = None
             if ms.has_packed_maps:
-                g7 = sample_packed_r(
+                g7 = packed_fn(
                     scene.meshes[sub].mapsT, ms.pmap_wh, tc2
                 )  # (7, Q)
                 msamp[oi] = g7
@@ -429,7 +450,7 @@ def surface_data(scene, hit: Hit, hit_point3, *, want_maps: bool = False):
                 # rows exactly as objects.cpp:129-150.
                 raw = (
                     g7[3:6] if g7 is not None
-                    else sample_map_r(
+                    else map_fn(
                         scene.meshes[sub].normal_map, ms.nmap_wh, tc2
                     )
                 )
@@ -461,7 +482,7 @@ def object_color(scene, hit: Hit, tex2, msamp=None):
             if msamp is not None and oi in msamp:
                 smp = msamp[oi][0:3]
             else:
-                smp = sample_map_r(
+                smp = _samplers(st.settings)[1](
                     scene.meshes[sub].diffuse_map, ms.dmap_wh, tex2
                 )
             color3 = jnp.where(sel, smp, color3)
@@ -484,7 +505,7 @@ def specular_coefficient(scene, hit: Hit, tex2, msamp=None):
             if msamp is not None and oi in msamp:
                 smp = msamp[oi][6]
             else:
-                smp = sample_map_r(
+                smp = _samplers(st.settings)[1](
                     scene.meshes[sub].specular_map, ms.smap_wh, tex2
                 )[0]
             spec = jnp.where(sel, smp, spec)
