@@ -90,3 +90,61 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
     # resumed step must run with the restored optimizer state
     p3, o3, loss = step_fn(p2, o2, scene, target)
     assert np.isfinite(float(loss))
+
+
+def test_recover_texture_with_bilinear(monkeypatch):
+    """Texture inverse rendering: recover a diffuse map from a target
+    render. Needs texture_filter="bilinear" — with nearest filtering
+    each sampled texel gets gradient but the UV-space landscape is
+    piecewise constant; bilinear spreads gradient over the 4 blended
+    texels, so adam converges on every texel the camera actually sees."""
+    import optax
+
+    from rendering_tpu.flagship import procedural_mesh
+
+    def scene_with_map(tex):
+        st = RenderSettings(
+            width=32, height=24, enable_ssaa=False, enable_output=False,
+            output_progress=False, background_color=(0.1, 0.1, 0.12),
+            texture_filter="bilinear",
+        )
+        sd = SceneDef(settings=st)
+        sd.lights = [
+            LightDef("distant", color=(1, 1, 1), intensity=0.8,
+                     dir=(0.0, -0.3, -1.0)),
+        ]
+        obj = ObjectDef("mesh", pos=(0, 0, -3), size=(2.5, 2.5, 2.5),
+                        color=(1, 1, 1))
+        obj.mesh = procedural_mesh(200, pos=(0, 0, -3), size=(2.5, 2.5, 2.5))
+        obj.diffuse_map = tex
+        obj.diffuse_map_wh = (8, 8)
+        sd.objects = [obj]
+        return build_scene(sd)
+
+    rng = np.random.default_rng(5)
+    true_tex = rng.uniform(0.1, 0.9, (64, 3)).astype(np.float32)
+    target, _ = render_scene(scene_with_map(true_tex))
+
+    start = scene_with_map(np.full((64, 3), 0.5, np.float32))
+    paths = (("meshes", 0, "diffuse_map"),)
+    params = extract_params(start, paths)
+
+    init_fn, step_fn = make_train_step(paths, optimizer=optax.adam(3e-2))
+    opt_state = init_fn(params)
+    losses = []
+    for _ in range(150):
+        params, opt_state, loss = step_fn(params, opt_state, start, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 1e-2, (losses[0], losses[-1])
+
+    # Texels the optimization moved (seen by the camera) must move
+    # TOWARD the true texture: mean error vs truth drops well below the
+    # 0.5-gray init error. (Exact per-texel recovery needs many more
+    # steps for small-footprint texels — this asserts convergence
+    # direction and magnitude, not the fixed point.)
+    rec = np.asarray(params["meshes/0/diffuse_map"])
+    moved = np.abs(rec - 0.5).sum(axis=1) > 0.05
+    assert moved.sum() >= 8, moved.sum()
+    err_init = np.abs(0.5 - true_tex[moved]).mean()
+    err_rec = np.abs(rec[moved] - true_tex[moved]).mean()
+    assert err_rec < 0.5 * err_init, (err_rec, err_init)
