@@ -246,8 +246,13 @@ def morton_order(tri_v: np.ndarray) -> np.ndarray:
     fixed-size chunks the dense intersection kernel processes get tight
     AABBs — the SPMD analogue of BVH leaf locality (the reference gets
     the same effect from its SAH partition, src/objects.cpp:676-760).
-    Pure reordering metadata: callers keep all arrays in original order
-    and remap ids, so hit results and tie-breaking stay stable.
+    build_scene applies this permutation PERMANENTLY at scene build
+    (models/scene.py: v/n/uv/tangent/bitangent are stored Morton-
+    ordered, morton_perm=None): triangle/hit ids everywhere downstream
+    are Morton-order ids, not OBJ emit-order ids. Hand-built meshes may
+    instead keep load order and pass the permutation via
+    MeshData.morton_perm, in which case the kernel remaps hit ids back.
+    Only equal-t tie-breaks can differ between the two conventions.
     """
     t_count = len(tri_v)
     if t_count == 0:

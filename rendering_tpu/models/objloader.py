@@ -181,6 +181,8 @@ def load_obj_python(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArra
     root_bounds = np.zeros((2, 3), dtype=np.float32)
     arr_v: np.ndarray | None = None
     arr_n: np.ndarray | None = None
+    post_v: list = []  # raw verts/normals seen after the first face
+    post_n: list = []
 
     with open(path, "r", errors="replace") as fh:
         for raw in fh:
@@ -198,11 +200,12 @@ def load_obj_python(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArra
                     (np.float32(parts[1]), np.float32(parts[2]), np.float32(parts[3]))
                 )
                 if normalized:
-                    # verts arriving after the first face stay raw; append
-                    # to the already-transformed array untouched.
-                    arr_v = np.concatenate(
-                        [arr_v, np.array([verts[-1]], dtype=np.float32)]
-                    )
+                    # verts arriving after the first face stay raw
+                    # (only the first-face snapshot is transformed,
+                    # objects.cpp:282-303); buffered and concatenated
+                    # once after the loop — a per-line np.concatenate
+                    # is O(V^2) on interleaved OBJ files.
+                    post_v.append(verts[-1])
             elif head == "vn":
                 n = _normalize_rows(
                     np.array(
@@ -211,9 +214,7 @@ def load_obj_python(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArra
                 )[0]
                 normals.append(tuple(n))
                 if normalized:
-                    arr_n = np.concatenate(
-                        [arr_n, np.array([normals[-1]], dtype=np.float32)]
-                    )
+                    post_n.append(normals[-1])
             elif head == "vt":
                 uvs.append((np.float32(parts[1]), np.float32(parts[2])))
             elif head == "f":
@@ -264,6 +265,14 @@ def load_obj_python(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArra
     if arr_v is None:
         arr_v = np.zeros((0, 3), dtype=np.float32)
         arr_n = np.zeros((0, 3), dtype=np.float32)
+    if post_v:
+        arr_v = np.concatenate(
+            [arr_v, np.asarray(post_v, dtype=np.float32)]
+        )
+    if post_n:
+        arr_n = np.concatenate(
+            [arr_n, np.asarray(post_n, dtype=np.float32)]
+        )
 
     t_count = len(faces_v)
     fv = np.array(faces_v, dtype=np.int64).reshape(t_count, 3)

@@ -305,15 +305,20 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 light.color = _to_vec3(value)
             elif key == "intensity":
                 light.intensity = _to_float(value)
+            # Deliberately a SECOND chain: the reference's dispatch is
+            # accidentally split in two (scene.cpp:219 starts a fresh
+            # `if` after the type/color/intensity else-if chain ends),
+            # so e.g. `direction=` before any `type=` first prints the
+            # type-missing warning AND then hard-fails (the reference
+            # nullptr-derefs there; we raise SceneError).
             if key == "direction":
                 if light is None or light.kind != "distant":
                     raise SceneError("direction on non-distant light")
                 light.dir = _to_vec3(value)
             elif key == "position":
-                if light is not None and key == "position":
-                    if light.kind != "point":
-                        raise SceneError("position on non-point light")
-                    light.pos = _to_vec3(value)
+                if light is None or light.kind != "point":
+                    raise SceneError("position on non-point light")
+                light.pos = _to_vec3(value)
             elif key == "pos":
                 if light is None or light.kind != "area":
                     raise SceneError("pos on non-area light")

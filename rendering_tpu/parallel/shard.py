@@ -213,10 +213,13 @@ def _show_ac_sharded(scene, mesh: Mesh):
     return jnp.broadcast_to(val[None, :], (3, r)).reshape(3, h, w)
 
 
-def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
+def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
+                         ssaa_capacity: int | None = None):
     """Jittable sharded render over `mesh` (1-D, axis 'rays').
     Returns (frame3 (3, H, W), aux) identical (up to f32 scheduling) to
-    rendering_tpu.render.pipeline.render_scene."""
+    rendering_tpu.render.pipeline.render_scene. `ssaa_capacity`
+    overrides the fraction-derived refinement queue size (used by
+    render_sharded's overflow auto-escalation)."""
     from rendering_tpu.render.pipeline import derive_mesh_tables
 
     scene = derive_mesh_tables(scene)
@@ -229,7 +232,7 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
     frame3, stats = _primary_sharded(scene, mesh, ray_block=ray_block)
     n_masked = jnp.zeros((), jnp.int32)
     if settings.enable_ssaa:
-        capacity = max(
+        capacity = ssaa_capacity or max(
             1,
             int(settings.width * settings.height
                 * settings.ssaa_capacity_fraction),
@@ -244,15 +247,33 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK):
 
 def render_sharded(scene, mesh: Mesh | None = None,
                    ray_block: int = DEFAULT_RAY_BLOCK):
-    """Host-facing sharded render: ((H, W, 3) numpy frame, aux)."""
+    """Host-facing sharded render: ((H, W, 3) numpy frame, aux).
+
+    Like pipeline.render, an SSAA mask larger than the fraction-derived
+    queue capacity auto-escalates with a bigger queue (otherwise the
+    `where(mask, refined, frame)` select would blacken the unrefined
+    overflow pixels), so the output matches the single-chip render()
+    for any ssaa_capacity_fraction."""
     mesh = mesh or make_ray_mesh()
     fn = _cached_sharded_fn(mesh, ray_block)
     frame3, aux = fn(scene)
+    st = scene.static.settings
+    cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
+    n_masked = int(aux["ssaa_masked"])
+    if st.enable_ssaa and not st.show_ac and n_masked > cap:
+        cap2 = min(
+            st.width * st.height, 1 << (max(n_masked, 2) - 1).bit_length()
+        )
+        frame3, aux = _cached_sharded_fn(mesh, ray_block, cap2)(scene)
     return np.asarray(frame3).transpose(1, 2, 0), aux
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_sharded_fn(mesh: Mesh, ray_block: int):
+def _cached_sharded_fn(mesh: Mesh, ray_block: int,
+                       ssaa_capacity: int | None = None):
     return jax.jit(
-        functools.partial(render_scene_sharded, mesh=mesh, ray_block=ray_block)
+        functools.partial(
+            render_scene_sharded, mesh=mesh, ray_block=ray_block,
+            ssaa_capacity=ssaa_capacity,
+        )
     )

@@ -218,13 +218,14 @@ def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
     return r.tri, r.box_tests, r.tri_tests
 
 
-def trace_closest(scene, ro3, rd3, *, shadow: bool = False, t_limit=None,
+def trace_closest(scene, ro3, rd3, *, t_limit=None,
                   ray_block: int | None = None):
     """Closest hit over all scene objects in scene order
-    (Render::trace, src/scene.cpp:724-756). Shadow rays skip transparent
-    objects (scene.cpp:733-734). ro3/rd3: (3, Q) rows. Returns
-    (Hit, stats dict). Call with block-sized ray batches (the bounce
-    loop does).
+    (Render::trace, src/scene.cpp:724-756). ro3/rd3: (3, Q) rows.
+    Returns (Hit, stats dict). Call with block-sized ray batches (the
+    bounce loop does). Shadow queries (which skip transparent objects,
+    scene.cpp:733-734) go through trace_occlusion — any-hit semantics,
+    not closest-hit.
 
     Differentiability: sphere/plane t's are direct jnp math; mesh t/u/v
     are re-evaluated via Moller-Trumbore on the hit oracle's triangle
@@ -276,9 +277,7 @@ def trace_closest(scene, ro3, rd3, *, shadow: bool = False, t_limit=None,
     cols = []
     for oi, kind in enumerate(st.obj_kinds):
         sub = st.obj_subs[oi]
-        if shadow and st.mat_types[oi] == MAT_TRANSPARENT:
-            cols.append(jnp.full((q,), FLT_MAX, jnp.float32))
-        elif kind == KIND_SPHERE:
+        if kind == KIND_SPHERE:
             cols.append(t_sph[sub])
         elif kind == KIND_PLANE:
             cols.append(t_pln[sub])

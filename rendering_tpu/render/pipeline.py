@@ -82,8 +82,11 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     return frame3, stats
 
 
+@functools.partial(jax.jit, static_argnames=("capacity", "ray_block"))
 def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
-    """Sobel-adaptive refinement. Returns (frame3, n_masked, stats)."""
+    """Sobel-adaptive refinement. Returns (frame3, n_masked, stats).
+    Jitted standalone for the strip-rendering paths (render_scene traces
+    it inline; jit-of-jit is free)."""
     st = scene.static
     w, h = st.settings.width, st.settings.height
     mask = sobel_mask(frame3)
@@ -273,10 +276,11 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     printed at most once per second, formatted like the reference
     (`std::fixed << setw(2) << setprecision(0) << pct << "%"`). Strips
     scatter into disjoint pixels and each primary ray's bounce tree
-    lives in its own wavefront queue, so output equals render() exactly
-    — up to f32 add reassociation when transparent materials reorder a
-    pixel's two continuation children in the per-strip queue sort.
-    Returns ((H, W, 3) numpy frame, aux)."""
+    lives in its own wavefront queue, so output equals render() up to
+    f32 instruction scheduling (<= 1 ulp: the SSAA stage runs as its
+    own XLA program here vs inline in render_scene's; transparent
+    materials can also reorder a pixel's continuation children in the
+    per-strip queue sort). Returns ((H, W, 3) numpy frame, aux)."""
     import time as _time
 
     import numpy as np
@@ -321,7 +325,10 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     frame3 = frame3.at[:, h - 1, :].set(0.0)
     frame3 = frame3.at[:, :, w - 1].set(0.0)
     n_masked = jnp.zeros((), jnp.int32)
-    if st.enable_ssaa and not st.show_normals:
+    # SSAA also runs under showNormals — the reference's SSAAworker
+    # casts through castRay, which returns normal colors in that mode
+    # (scene.cpp:601-605, 771-772); _ssaa_pass has the matching branch.
+    if st.enable_ssaa:
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
         base3 = frame3
@@ -352,7 +359,9 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
 
     Returns ((H, W, 3) numpy frame, aux). Strips are independent because
     every primary ray's full bounce tree lives in its own wavefront
-    queue — identical output to render() by construction.
+    queue — output equals render() up to f32 instruction scheduling
+    (<= 1 ulp; the SSAA stage runs as its own XLA program here, inline
+    in render_scene's).
     """
     import dataclasses as _dc
     import os
@@ -410,7 +419,9 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     frame3 = frame3.at[:, h - 1, :].set(0.0)
     frame3 = frame3.at[:, :, w - 1].set(0.0)
     n_masked = jnp.zeros((), jnp.int32)
-    if st.enable_ssaa and not st.show_ac and not st.show_normals:
+    # show_ac returned early above; showNormals DOES run SSAA (see
+    # render_with_progress).
+    if st.enable_ssaa:
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
         base3 = frame3

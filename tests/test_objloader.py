@@ -1,6 +1,10 @@
 import numpy as np
 
-from rendering_tpu.models.objloader import euler_matrix, load_obj
+from rendering_tpu.models.objloader import (
+    euler_matrix,
+    load_obj,
+    load_obj_python,
+)
 
 
 def _write(tmp_path, text):
@@ -97,3 +101,23 @@ def test_vertices_after_first_face_stay_raw(tmp_path):
     m = load_obj(path, size=(1, 1, 1), rot=(0, 0, 0), pos=(0, 0, 0))
     assert m.n_tris == 2
     np.testing.assert_allclose(m.v[1, 0], [7, 8, 9])
+
+
+def test_interleaved_verts_after_first_face(tmp_path):
+    """Verts/normals appearing AFTER the first `f` line stay raw (only
+    the first-face snapshot is normalize/rotate/translated,
+    objects.cpp:282-331) and later faces may index them. Also pins the
+    O(V) buffered append (was O(V^2) per-line concatenate)."""
+    p = tmp_path / "inter.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "f 1 2 3\n"
+        "v 0.25 0.25 0.5\n"           # raw post-face vertex
+        "vn 0 0 1\n"
+        "f 1 2 4\n"
+    )
+    m = load_obj_python(str(p), size=(2, 2, 2), rot=(0, 0, 0), pos=(0, 0, -5))
+    assert m.v.shape == (2, 3, 3)
+    # Triangle 2's third vertex is the RAW post-face coordinate
+    # (untransformed), exactly as the reference leaves it.
+    np.testing.assert_allclose(m.v[1, 2], [0.25, 0.25, 0.5], atol=1e-6)

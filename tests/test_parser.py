@@ -192,3 +192,16 @@ def test_stream_number_semantics():
     assert _to_int("-") == 0
     with pytest.raises(SceneError):
         _to_int("abc")
+
+
+def test_light_position_before_type_errors(tmp_path):
+    """`position=` in a [light] block before any `type=`: the reference
+    prints the type-missing warning, then nullptr-derefs in its second
+    (accidentally split) dispatch chain — we raise SceneError at the
+    same point."""
+    p = tmp_path / "bad.scene"
+    p.write_text(
+        "[options]\nwidth=8\nheight=8\n\n[light]\nposition=0,1,0\n[end]\n"
+    )
+    with pytest.raises(SceneError, match="position"):
+        parse_scene(str(p))

@@ -74,3 +74,32 @@ def test_resumable_show_ac_delegates(in_workspace, tmp_path):
         scene, str(tmp_path / "ck.msgpack"), strip_rows=16
     )
     np.testing.assert_array_equal(f_ref, f_res)
+
+
+def test_progress_shownormals_runs_ssaa(in_workspace):
+    """showNormals + SSAA: the reference's SSAAworker casts through
+    castRay, which returns normal colors in that mode (scene.cpp:
+    601-605, 771-772) — the strip paths must refine exactly like
+    render() (review-found round-2 divergence: they skipped SSAA)."""
+    scene = load_scene(
+        "t08_shownormals.scene",
+        RenderSettings(ssaa_capacity_fraction=1.0),
+    )
+    scene = _shrink(scene, 48, 32)
+    assert scene.static.settings.show_normals
+    assert scene.static.settings.enable_ssaa
+
+    f_ref, aux_ref = render(scene)
+    assert int(aux_ref["ssaa_masked"]) > 0  # edges exist -> SSAA ran
+    # <= 1 ulp: render_scene traces _ssaa_pass inline (fusable with the
+    # primary pass), the strip paths call it as its own program.
+    f_prog, _ = render_with_progress(scene, strip_rows=16)
+    np.testing.assert_allclose(f_ref, f_prog, atol=1.2e-7)
+
+    from rendering_tpu.render.pipeline import render_resumable
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        f_res, _ = render_resumable(
+            scene, os.path.join(d, "ck.msgpack"), strip_rows=16
+        )
+    np.testing.assert_allclose(f_ref, f_res, atol=1.2e-7)

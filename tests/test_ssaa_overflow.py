@@ -36,3 +36,27 @@ def test_overflow_escalates_to_exact(in_workspace):
 
     f_small, aux_small = render(_with(scene, ssaa_capacity_fraction=0.05))
     np.testing.assert_array_equal(f_exact, f_small)
+
+
+def test_sharded_overflow_escalates(in_workspace):
+    """render_sharded must auto-escalate like render(): without it, the
+    where(mask, refined, frame) select blackens masked pixels past the
+    queue capacity (review-found round-2 bug)."""
+    import jax
+
+    from rendering_tpu.parallel.shard import make_ray_mesh, render_sharded
+
+    mesh = make_ray_mesh(jax.devices())
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _with(scene, width=96, height=64)
+
+    f_exact, _ = render_sharded(_with(scene, ssaa_capacity_fraction=1.0), mesh)
+    f_small, aux = render_sharded(
+        _with(scene, ssaa_capacity_fraction=0.05), mesh
+    )
+    assert int(aux["ssaa_masked"]) > int(96 * 64 * 0.05)
+    # <= 1 ulp: the escalated queue capacity changes ray padding/block
+    # partitioning, which reorders f32 scatter-add accumulation.
+    np.testing.assert_allclose(f_exact, f_small, atol=2.4e-7)
