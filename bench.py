@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 
-def run_size(width, height, n_tris, reps):
+def run_size(width, height, n_tris, reps, forward_only=False):
     from rendering_tpu.diff.inverse import apply_params, extract_params
     from rendering_tpu.flagship import build_flagship_scene
     from rendering_tpu.render.pipeline import render_scene
@@ -49,14 +49,24 @@ def run_size(width, height, n_tris, reps):
         frame, _ = render_scene(s)
         return jnp.mean(frame)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
-    loss, grads = step(params, scene)  # warmup/compile
-    jax.block_until_ready(grads)
-
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        loss, grads = step(params, scene)
-    jax.block_until_ready(grads)
+    if forward_only:
+        # Apples-to-apples with the reference's 0.7M rays/s baseline
+        # (a forward render, no gradients).
+        step = jax.jit(loss_fn)
+        out = step(params, scene)  # warmup/compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = step(params, scene)
+        jax.block_until_ready(out)
+    else:
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        loss, out = step(params, scene)  # warmup/compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            loss, out = step(params, scene)
+        jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     return (width * height) / dt
 
@@ -79,12 +89,15 @@ def main() -> int:
         return 0
 
     big = run_size(width, height, 250000, reps)
+    big_fwd = run_size(width, height, 250000, reps, forward_only=True)
     small = run_size(width, height, None, reps)  # bundled 1,539-tri size
     print(json.dumps({
         "metric": "shotgun250k_fwd_bwd_primary_rays_per_sec_per_chip",
         "value": round(big, 1),
         "unit": "rays/s",
         "vs_baseline": round(big / baseline, 3),
+        "fwd_only_rays_per_sec": round(big_fwd, 1),
+        "fwd_only_vs_baseline": round(big_fwd / baseline, 3),
         "small_mesh_rays_per_sec": round(small, 1),
         "small_mesh_vs_baseline": round(small / baseline, 3),
     }))
