@@ -107,3 +107,18 @@ def test_multihost_helpers_single_process():
     assert make_host_ray_mesh().devices.size == len(jax.local_devices())
     rep = scaling_report(1e6, 7.2e6, 8)
     assert abs(rep["efficiency"] - 0.9) < 1e-6
+
+
+def test_sharded_odd_device_count(in_workspace):
+    """Non-power-of-two meshes (3 and 6 of the 8 virtual devices) must
+    produce the same frame — catches ray-count divisibility assumptions
+    in the padding/round-robin tile interleave."""
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 70, 46)  # deliberately awkward raster too
+    f1, _ = render(scene)
+    for n in (3, 6):
+        mesh_n = make_ray_mesh(jax.devices()[:n])
+        fn, _ = render_sharded(scene, mesh_n)
+        np.testing.assert_allclose(f1, fn, atol=2e-6, err_msg=f"ndev={n}")
