@@ -94,6 +94,15 @@ from jax.experimental.pallas import tpu as pltpu
 from rendering_tpu.ops.geometry import FLT_MAX
 
 DEFAULT_RAY_TILE = int(os.environ.get("RT_RAY_TILE", "512"))
+# Any-hit (shadow) queries may use their own tile width: shadow rays
+# typically resolve on their first live (local) chunk, so the
+# cull-tightness vs per-pair-work tradeoff sits elsewhere than for
+# closest-hit. Defaults to the closest-hit tile; env knob for on-chip
+# A/B (ray_tile=1024 for shadows measured 2x worse culling in round 2;
+# finer tiles are the untested direction).
+ANYHIT_RAY_TILE = int(
+    os.environ.get("RT_ANYHIT_RAY_TILE", "0")
+) or None
 _FMAX = 3.4028234663852886e38  # FLT_MAX literal (kernels can't capture arrays)
 
 # Step-count buckets for the 1-D pair-compacted grid, as multiples of
@@ -690,7 +699,7 @@ def bruteforce_mesh_pallas(
     perm = tb.perm
 
     if ray_tile is None:
-        ray_tile = DEFAULT_RAY_TILE
+        ray_tile = (ANYHIT_RAY_TILE if anyhit else None) or DEFAULT_RAY_TILE
     # Power-of-two <= fallback tile: the kernel's lane-slice loop
     # (`range(br // _MAX_COMPUTE_LANES)`) and the coarse-fallback
     # retiling (`rp // ray_tile` with rp a multiple of 4096) both
