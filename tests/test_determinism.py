@@ -59,3 +59,29 @@ def test_render_resumable_matches_and_resumes(tmp_path):
                     tile_mask=mask)
     out2, _ = render_resumable(scene, ck, strip_rows=16, resume=True)
     np.testing.assert_allclose(out2, ref, atol=1e-6)
+
+
+def test_sharded_bitwise_deterministic(in_workspace):
+    """The sharded render (psum + scatter orders included) must also be
+    bitwise repeatable."""
+    import dataclasses
+
+    import jax
+
+    from rendering_tpu.parallel.shard import make_ray_mesh, render_sharded
+
+    scene = load_scene(
+        "t01_simple_shapes.scene",
+        RenderSettings(ssaa_capacity_fraction=1.0),
+    )
+    st = scene.static
+    scene = dataclasses.replace(
+        scene,
+        static=dataclasses.replace(
+            st, settings=st.settings.replace(width=80, height=60)
+        ),
+    )
+    mesh = make_ray_mesh(jax.devices())
+    f1, _ = render_sharded(scene, mesh)
+    f2, _ = render_sharded(scene, mesh)
+    assert np.array_equal(f1, f2)
