@@ -28,6 +28,11 @@ def main(argv=None) -> int:
         help="capture a jax.profiler device trace of the render phase "
              "into this directory (SURVEY §5.1 TPU profiling)",
     )
+    p.add_argument(
+        "--no-shard", action="store_true",
+        help="force a single-device render even when multiple "
+             "accelerator devices are visible",
+    )
     args = p.parse_args(argv)
 
     total = Timer("Total time")
@@ -41,6 +46,23 @@ def main(argv=None) -> int:
     t_render = Timer("Render scene", settings.enable_output)
 
     def _render():
+        # Multiple visible devices: shard rays across all of them — the
+        # TPU-native analogue of the reference defaulting nWorkers to
+        # hardware_concurrency (src/scene.cpp:68-70). Output is bitwise
+        # identical to the single-device render (tests/test_parallel.py,
+        # test_determinism.py). Progress percentages don't apply: the
+        # whole frame is one device program, and the reference prints
+        # at most once per second anyway (a sub-second render prints
+        # nothing).
+        import jax
+
+        if jax.device_count() > 1 and not args.no_shard:
+            from rendering_tpu.parallel.shard import (
+                make_ray_mesh,
+                render_sharded,
+            )
+
+            return render_sharded(scene, make_ray_mesh())
         if settings.output_progress and not settings.show_ac:
             # outputProgress (src/scene.cpp:486-492): strip-rendered
             # frame with once-per-second percentage prints;

@@ -265,6 +265,13 @@ def render_sharded(scene, mesh: Mesh | None = None,
             st.width * st.height, 1 << (max(n_masked, 2) - 1).bit_length()
         )
         frame3, aux = _cached_sharded_fn(mesh, ray_block, cap2)(scene)
+    dropped = float(aux["stats"].get("paths_dropped", 0.0))
+    if dropped:
+        print(
+            f"warning: {dropped:.0f} transparent continuation paths were "
+            f"dropped by queue compaction; output deviates from the "
+            f"reference's unbounded recursion"
+        )
     return np.asarray(frame3).transpose(1, 2, 0), aux
 
 

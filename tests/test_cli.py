@@ -33,7 +33,7 @@ radius=1.5
 """
 
 
-def _run(tmp_path, capsys, progress):
+def _run(tmp_path, capsys, progress, extra_args=()):
     from rendering_tpu.cli import main
     from rendering_tpu.utils.bmp import bmp_to_image, load_bmp
 
@@ -43,7 +43,8 @@ def _run(tmp_path, capsys, progress):
     old = os.getcwd()
     os.chdir(tmp_path)
     try:
-        rc = main([str(scene_path), "--output", str(out_path)])
+        rc = main([str(scene_path), "--output", str(out_path),
+                   *extra_args])
     finally:
         os.chdir(old)
     assert rc == 0
@@ -83,6 +84,20 @@ def test_cli_trace_dir_captures_profile(tmp_path, capsys):
         os.chdir(old)
     assert rc == 0
     assert find_xplanes(str(trace_dir)), "no xplane capture written"
+
+
+def test_cli_auto_shard_matches_no_shard(tmp_path, capsys):
+    """With multiple visible devices (the conftest's 8 virtual CPU
+    devices) the CLI shards rays across all of them by default — the
+    analogue of the reference defaulting nWorkers to
+    hardware_concurrency (src/scene.cpp:68-70). Must match the forced
+    single-device render bitwise."""
+    out_sharded, img_sharded = _run(tmp_path, capsys, progress=0)
+    out_single, img_single = _run(tmp_path, capsys, progress=0,
+                                  extra_args=("--no-shard",))
+    np.testing.assert_array_equal(img_sharded, img_single)
+    # The stats table must survive the sharded path too.
+    assert "Rays casted:" in out_sharded
 
 
 def test_cli_progress_path_identical(tmp_path, capsys):
