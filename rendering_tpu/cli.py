@@ -50,10 +50,8 @@ def main(argv=None) -> int:
         # TPU-native analogue of the reference defaulting nWorkers to
         # hardware_concurrency (src/scene.cpp:68-70). Output is bitwise
         # identical to the single-device render (tests/test_parallel.py,
-        # test_determinism.py). Progress percentages don't apply: the
-        # whole frame is one device program, and the reference prints
-        # at most once per second anyway (a sub-second render prints
-        # nothing).
+        # test_determinism.py). outputProgress keeps working: strips
+        # render sharded with the same once-per-second % prints.
         import jax
 
         if jax.device_count() > 1 and not args.no_shard:
@@ -62,7 +60,14 @@ def main(argv=None) -> int:
                 render_sharded,
             )
 
-            return render_sharded(scene, make_ray_mesh())
+            mesh = make_ray_mesh()
+            if settings.output_progress and not settings.show_ac:
+                from rendering_tpu.render.pipeline import (
+                    render_with_progress,
+                )
+
+                return render_with_progress(scene, mesh=mesh)
+            return render_sharded(scene, mesh)
         if settings.output_progress and not settings.show_ac:
             # outputProgress (src/scene.cpp:486-492): strip-rendered
             # frame with once-per-second percentage prints;

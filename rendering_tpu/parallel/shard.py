@@ -184,6 +184,77 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block):
     return frame3, n_masked, stats
 
 
+def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
+                         ray_block: int = DEFAULT_RAY_BLOCK):
+    """Sharded analogue of pipeline._render_strip: integrate the primary
+    rays of pixel rows [y0, y0+rows) with the strip's rays round-robin
+    tile-interleaved across the mesh. Returns (full-size flat (3, W*H)
+    accumulator with the strip written in place, psum'd stats) — the
+    same contract as the single-device strip fn, so the progress /
+    resumable strip loops swap it in unchanged (jittable; y0/rows
+    static, mesh closure-bound)."""
+    from rendering_tpu.render.pipeline import derive_mesh_tables
+
+    scene = derive_mesh_tables(scene)
+    st = scene.static
+    w, h = st.settings.width, st.settings.height
+    ndev = mesh.devices.size
+    r = rows * w
+    rp, perm = _round_robin_layout(r, ndev)
+    # Slot k handles strip-local pixel perm[k]; padded slots (perm >= r)
+    # render a clamped duplicate ray whose result is sliced off below.
+    local_pix = jnp.minimum(perm, r - 1)
+    xs = (local_pix % w).astype(jnp.float32)
+    ys = (y0 + local_pix // w).astype(jnp.float32)
+
+    def local(scene, xs_l, ys_l):
+        rd = pixel_dirs(scene, xs_l, ys_l, 1.0, 1.0)
+        ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
+        nloc = xs_l.shape[0]
+        if st.settings.show_normals:
+            accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+            stats = _zero_stats()
+            stats["rays_casted"] = jnp.asarray(nloc, jnp.float32)
+        else:
+            accum3, stats = integrate(
+                scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
+                jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
+                ray_block=ray_block, out_slots=not st.any_bouncing,
+            )
+        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
+        return accum3, stats
+
+    accum3, stats = _shard_map(
+        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
+        out_specs=(P(None, "rays"), P()),
+    )(scene, xs, ys)
+
+    # Undo the round-robin permutation (slot k -> strip pixel perm[k]),
+    # drop the padding, and place the strip into the full frame.
+    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
+    out = jnp.zeros((3, h * w), jnp.float32)
+    out = out.at[:, y0 * w : y0 * w + r].set(flat[:, :r])
+    return out, stats
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_ssaa_sharded_fn(mesh: Mesh, ray_block: int, capacity: int):
+    def fn(scene_t, frame3):
+        return _ssaa_sharded(scene_t, frame3, mesh, capacity=capacity,
+                             ray_block=ray_block)
+
+    return jax.jit(fn)
+
+
+def ssaa_pass_sharded(scene_t, frame3, mesh: Mesh, *, capacity: int,
+                      ray_block: int = DEFAULT_RAY_BLOCK):
+    """Jitted sharded SSAA refinement with the same
+    (frame3, n_masked, stats) contract as pipeline._ssaa_pass. Expects
+    a derive_mesh_tables'd scene (like _ssaa_pass when called from the
+    strip paths)."""
+    return _cached_ssaa_sharded_fn(mesh, ray_block, capacity)(scene_t, frame3)
+
+
 def _show_ac_sharded(scene, mesh: Mesh):
     st = scene.static
     w, h = st.settings.width, st.settings.height

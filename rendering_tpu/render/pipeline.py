@@ -268,13 +268,49 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     return frame, aux
 
 
+def _make_strip_fns(mesh, ray_block):
+    """(strip_fn, ssaa_fn) for the strip-rendering paths: single-device
+    when mesh is None, shard_map'd over the mesh otherwise. Same
+    contracts either way."""
+    if mesh is None:
+        strip_fn = jax.jit(
+            functools.partial(_render_strip, ray_block=ray_block),
+            static_argnames=("y0", "rows"),
+        )
+
+        def ssaa_fn(scene_t, frame3, capacity):
+            return _ssaa_pass(scene_t, frame3, capacity=capacity,
+                              ray_block=ray_block)
+
+        return strip_fn, ssaa_fn
+
+    from rendering_tpu.parallel.shard import (
+        render_strip_sharded,
+        ssaa_pass_sharded,
+    )
+
+    strip_fn = jax.jit(
+        functools.partial(render_strip_sharded, mesh=mesh,
+                          ray_block=ray_block),
+        static_argnames=("y0", "rows"),
+    )
+
+    def ssaa_fn(scene_t, frame3, capacity):
+        return ssaa_pass_sharded(scene_t, frame3, mesh, capacity=capacity,
+                                 ray_block=ray_block)
+
+    return strip_fn, ssaa_fn
+
+
 def render_with_progress(scene, *, strip_rows: int = 128,
                          ray_block: int = DEFAULT_RAY_BLOCK,
-                         _now=None, _print=print):
+                         mesh=None, _now=None, _print=print):
     """`outputProgress` render (src/scene.cpp:486-492): the frame is
     produced in horizontal strips and the completed-pixel percentage is
     printed at most once per second, formatted like the reference
-    (`std::fixed << setw(2) << setprecision(0) << pct << "%"`). Strips
+    (`std::fixed << setw(2) << setprecision(0) << pct << "%"`). With
+    `mesh` every strip (and the SSAA pass) renders sharded over the
+    device mesh (shard.render_strip_sharded). Strips
     scatter into disjoint pixels and each primary ray's bounce tree
     lives in its own wavefront queue, so output equals render() up to
     f32 instruction scheduling (<= 1 ulp: the SSAA stage runs as its
@@ -291,7 +327,14 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         # showAC skips strips and SSAA (scene.cpp:607-635 renders the
         # whole heatmap in one pass); delegate so the output matches
         # render() instead of silently rendering the normal image.
-        frame3, aux = render_scene(scene, ray_block=ray_block)
+        if mesh is not None:
+            from rendering_tpu.parallel.shard import render_scene_sharded
+
+            frame3, aux = jax.jit(functools.partial(
+                render_scene_sharded, mesh=mesh, ray_block=ray_block
+            ))(scene)
+        else:
+            frame3, aux = render_scene(scene, ray_block=ray_block)
         frame = np.asarray(frame3).transpose(1, 2, 0)
         _print("100%")
         return frame, {
@@ -304,10 +347,7 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     last = now()
     done_px = 0
     coef = 100.0 / (w * h)
-    strip_fn = jax.jit(
-        functools.partial(_render_strip, ray_block=ray_block),
-        static_argnames=("y0", "rows"),
-    )
+    strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block)
     stats_acc = {k: 0.0 for k in _zero_stats()}
     for s in range(n_strips):
         y0 = s * strip_rows
@@ -332,15 +372,11 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
         base3 = frame3
-        frame3, n_masked, s2 = _ssaa_pass(
-            scene_t, base3, capacity=capacity, ray_block=ray_block
-        )
+        frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
         if int(n_masked) > capacity:  # auto-escalate: exact refinement
             capacity = min(w * h,
                            1 << (max(int(n_masked), 2) - 1).bit_length())
-            frame3, n_masked, s2 = _ssaa_pass(
-                scene_t, base3, capacity=capacity, ray_block=ray_block
-            )
+            frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
         for k in stats_acc:
             stats_acc[k] += float(s2[k])
     frame = np.asarray(frame3).transpose(1, 2, 0)
@@ -348,14 +384,17 @@ def render_with_progress(scene, *, strip_rows: int = 128,
 
 
 def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
-                     resume: bool = True, ray_block: int = DEFAULT_RAY_BLOCK):
+                     resume: bool = True, ray_block: int = DEFAULT_RAY_BLOCK,
+                     mesh=None):
     """Preemption-safe render: the frame is produced in horizontal strips
     of `strip_rows` pixel rows, checkpointing the accumulated framebuffer
     and finished-strip mask after each strip (SURVEY sections 5.3/5.4 —
     the reference is all-or-nothing; this is the TPU-native analogue of
     per-tile checkpointing). On restart with resume=True, finished
     strips are skipped. The adaptive-SSAA refinement (whole-frame pass)
-    runs only once all strips are done.
+    runs only once all strips are done. With `mesh` every strip and the
+    SSAA pass render sharded over the device mesh — preemption-safe
+    long renders on multi-chip.
 
     Returns ((H, W, 3) numpy frame, aux). Strips are independent because
     every primary ray's full bounce tree lives in its own wavefront
@@ -374,7 +413,14 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     if st.show_ac:
         # showAC is a single whole-frame debug pass (no strips, no
         # SSAA) — delegate instead of stripping the normal image.
-        frame3, aux = render_scene(scene, ray_block=ray_block)
+        if mesh is not None:
+            from rendering_tpu.parallel.shard import render_scene_sharded
+
+            frame3, aux = jax.jit(functools.partial(
+                render_scene_sharded, mesh=mesh, ray_block=ray_block
+            ))(scene)
+        else:
+            frame3, aux = render_scene(scene, ray_block=ray_block)
         return (
             np.asarray(frame3).transpose(1, 2, 0),
             {"ssaa_masked": aux["ssaa_masked"]},
@@ -400,10 +446,7 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             accum3 = np.asarray(frame_ck)
             done = np.asarray(mask_ck).astype(bool)
 
-    strip_fn = jax.jit(
-        functools.partial(_render_strip, ray_block=ray_block),
-        static_argnames=("y0", "rows"),
-    )
+    strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block)
     for s in range(n_strips):
         if done[s]:
             continue
@@ -425,15 +468,11 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
         base3 = frame3
-        frame3, n_masked, _ = _ssaa_pass(
-            scene_t, base3, capacity=capacity, ray_block=ray_block
-        )
+        frame3, n_masked, _ = ssaa_fn(scene_t, base3, capacity)
         if int(n_masked) > capacity:  # auto-escalate: exact refinement
             capacity = min(w * h,
                            1 << (max(int(n_masked), 2) - 1).bit_length())
-            frame3, n_masked, _ = _ssaa_pass(
-                scene_t, base3, capacity=capacity, ray_block=ray_block
-            )
+            frame3, n_masked, _ = ssaa_fn(scene_t, base3, capacity)
     frame = np.asarray(frame3).transpose(1, 2, 0)
     return frame, {"ssaa_masked": n_masked}
 

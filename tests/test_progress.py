@@ -47,6 +47,56 @@ def test_progress_render_matches_and_prints(in_workspace):
     assert aux["stats"]["rays_casted"] >= 64 * 48
 
 
+def test_progress_sharded_matches(in_workspace):
+    """mesh= shards each strip over the 8 virtual devices
+    (shard.render_strip_sharded); output and progress prints match the
+    single-device strip render."""
+    import jax
+
+    from rendering_tpu.parallel.shard import make_ray_mesh
+
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 64, 48)
+    mesh = make_ray_mesh(jax.devices())
+
+    clock = itertools.count(step=2.0)
+    lines = []
+    f_single, _ = render_with_progress(scene, strip_rows=16)
+    f_shard, aux = render_with_progress(
+        scene, strip_rows=16, mesh=mesh, _now=lambda: next(clock),
+        _print=lines.append,
+    )
+    np.testing.assert_allclose(f_single, f_shard, atol=2e-6, rtol=3e-4)
+    assert lines == ["33%", "67%", "100%"]
+    assert aux["stats"]["rays_casted"] >= 64 * 48
+
+
+def test_resumable_sharded_matches_and_resumes(in_workspace, tmp_path):
+    """render_resumable(mesh=...) renders strips sharded, checkpoints,
+    and resumes to the same frame."""
+    import jax
+
+    from rendering_tpu.parallel.shard import make_ray_mesh
+    from rendering_tpu.render.pipeline import render_resumable
+
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 64, 48)
+    mesh = make_ray_mesh(jax.devices())
+    ck = str(tmp_path / "shard_resume.npz")
+
+    f_ref, _ = render(scene)
+    f_shard, _ = render_resumable(scene, ck, strip_rows=16, mesh=mesh)
+    np.testing.assert_allclose(f_ref, f_shard, atol=2e-6, rtol=3e-4)
+    # Checkpoint marks all strips done -> the resume run must replay to
+    # the identical frame (strips skipped, SSAA re-run).
+    f_resume, _ = render_resumable(scene, ck, strip_rows=16, mesh=mesh)
+    np.testing.assert_array_equal(f_shard, f_resume)
+
+
 def test_progress_show_ac_delegates(in_workspace):
     """show_ac is a single whole-frame debug pass: render_with_progress
     must produce the AC heatmap (not silently strip-render the normal
