@@ -86,6 +86,39 @@ def _round_robin_layout(r: int, ndev: int):
     return rp, tiles[order].reshape(-1)
 
 
+def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block):
+    """shard_map'd slot integration shared by the primary and strip
+    passes: each device integrates its (xs, ys) primary rays with
+    identity local pixel ids (slot accumulation when nothing bounces).
+    Returns (accum3 (3, rp) in global slot order, psum'd stats).
+    Stats count padded duplicate slots, like the block padding of the
+    single-device paths — the counters are a work oracle, not an exact
+    pixel count (see integrator._zero_stats). show_normals reports the
+    true primary count, matching _primary_pass."""
+    st = scene.static
+
+    def local(scene, xs_l, ys_l):
+        rd = pixel_dirs(scene, xs_l, ys_l, 1.0, 1.0)
+        ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
+        nloc = xs_l.shape[0]
+        if st.settings.show_normals:
+            accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
+            stats = _zero_stats()
+        else:
+            accum3, stats = integrate(
+                scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
+                jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
+                ray_block=ray_block, out_slots=not st.any_bouncing,
+            )
+        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
+        return accum3, stats
+
+    return _shard_map(
+        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
+        out_specs=(P(None, "rays"), P()),
+    )(scene, xs, ys)
+
+
 def _primary_sharded(scene, mesh: Mesh, *, ray_block):
     st = scene.static
     w, h = st.settings.width, st.settings.height
@@ -96,30 +129,11 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
     xs = (perm % w).astype(jnp.float32)
     ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
 
-    def local(scene, xs_l, ys_l):
-        rd = pixel_dirs(scene, xs_l, ys_l, 1.0, 1.0)
-        ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
-        nloc = xs_l.shape[0]
-        if st.settings.show_normals:
-            accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
-            stats = _zero_stats()
-            stats["rays_casted"] = jnp.asarray(nloc, jnp.float32)
-        else:
-            # Local pixel ids are the identity, so slot accumulation
-            # (no pixel scatter) is exact whenever no transparent
-            # resort reassigns slots.
-            accum3, stats = integrate(
-                scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
-                jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
-                ray_block=ray_block, out_slots=not st.any_bouncing,
-            )
-        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
-        return accum3, stats
-
-    accum3, stats = _shard_map(
-        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
-        out_specs=(P(None, "rays"), P()),
-    )(scene, xs, ys)
+    accum3, stats = _integrate_slots_sharded(
+        scene, mesh, xs, ys, ray_block=ray_block
+    )
+    if st.settings.show_normals:
+        stats["rays_casted"] = jnp.asarray(r, jnp.float32)
 
     # Undo the round-robin tile permutation (slot k -> pixel perm[k]).
     flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
@@ -207,27 +221,11 @@ def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
     xs = (local_pix % w).astype(jnp.float32)
     ys = (y0 + local_pix // w).astype(jnp.float32)
 
-    def local(scene, xs_l, ys_l):
-        rd = pixel_dirs(scene, xs_l, ys_l, 1.0, 1.0)
-        ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
-        nloc = xs_l.shape[0]
-        if st.settings.show_normals:
-            accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
-            stats = _zero_stats()
-            stats["rays_casted"] = jnp.asarray(nloc, jnp.float32)
-        else:
-            accum3, stats = integrate(
-                scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
-                jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
-                ray_block=ray_block, out_slots=not st.any_bouncing,
-            )
-        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
-        return accum3, stats
-
-    accum3, stats = _shard_map(
-        local, mesh=mesh, in_specs=(P(), P("rays"), P("rays")),
-        out_specs=(P(None, "rays"), P()),
-    )(scene, xs, ys)
+    accum3, stats = _integrate_slots_sharded(
+        scene, mesh, xs, ys, ray_block=ray_block
+    )
+    if st.settings.show_normals:
+        stats["rays_casted"] = jnp.asarray(r, jnp.float32)
 
     # Undo the round-robin permutation (slot k -> strip pixel perm[k]),
     # drop the padding, and place the strip into the full frame.
@@ -336,13 +334,9 @@ def render_sharded(scene, mesh: Mesh | None = None,
             st.width * st.height, 1 << (max(n_masked, 2) - 1).bit_length()
         )
         frame3, aux = _cached_sharded_fn(mesh, ray_block, cap2)(scene)
-    dropped = float(aux["stats"].get("paths_dropped", 0.0))
-    if dropped:
-        print(
-            f"warning: {dropped:.0f} transparent continuation paths were "
-            f"dropped by queue compaction; output deviates from the "
-            f"reference's unbounded recursion"
-        )
+    from rendering_tpu.render.pipeline import warn_dropped_paths
+
+    warn_dropped_paths(aux["stats"])
     return np.asarray(frame3).transpose(1, 2, 0), aux
 
 

@@ -88,8 +88,15 @@ def render_frames(scene, cameras, *, mesh=None,
     """Render one frame per (pos, rot_deg) camera. Yields
     ((H, W, 3) numpy frame, aux) lazily so callers can stream frames to
     disk/encoder without holding the whole animation. With `mesh`, each
-    frame renders sharded over the device mesh. All frames reuse one
-    compiled executable."""
+    frame renders sharded over the device mesh.
+
+    Frames reuse one compiled executable — with one caveat: SSAA
+    overflow auto-escalation compiles a new refinement capacity the
+    first time a frame's Sobel edge count crosses a power-of-two
+    boundary above the fraction-derived queue size (bounded, and
+    cached for later frames). Animations that must never recompile
+    mid-sequence should set ssaa_capacity_fraction=1.0 (exact, no
+    escalation) or enable_ssaa=False."""
     from rendering_tpu.parallel.shard import render_sharded
     from rendering_tpu.render.pipeline import render
 

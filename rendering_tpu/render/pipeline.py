@@ -258,14 +258,22 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
             scene, ray_block=ray_block, ssaa_capacity=cap2
         )
     frame = np.asarray(frame3).transpose(1, 2, 0)
-    dropped = float(aux["stats"].get("paths_dropped", 0.0))
+    warn_dropped_paths(aux["stats"])
+    return frame, aux
+
+
+def warn_dropped_paths(stats) -> None:
+    """Print the transparent-queue drop warning when a render's stats
+    report compacted-away continuation paths (shared by every
+    host-facing render wrapper; drops must stay 0 for exact parity with
+    the reference's unbounded recursion)."""
+    dropped = float(stats.get("paths_dropped", 0.0))
     if dropped:
         print(
             f"warning: {dropped:.0f} transparent continuation paths were "
             f"dropped by queue compaction; output deviates from the "
             f"reference's unbounded recursion"
         )
-    return frame, aux
 
 
 def _make_strip_fns(mesh, ray_block):
@@ -328,11 +336,9 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         # whole heatmap in one pass); delegate so the output matches
         # render() instead of silently rendering the normal image.
         if mesh is not None:
-            from rendering_tpu.parallel.shard import render_scene_sharded
+            from rendering_tpu.parallel.shard import _cached_sharded_fn
 
-            frame3, aux = jax.jit(functools.partial(
-                render_scene_sharded, mesh=mesh, ray_block=ray_block
-            ))(scene)
+            frame3, aux = _cached_sharded_fn(mesh, ray_block)(scene)
         else:
             frame3, aux = render_scene(scene, ray_block=ray_block)
         frame = np.asarray(frame3).transpose(1, 2, 0)
@@ -380,6 +386,7 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         for k in stats_acc:
             stats_acc[k] += float(s2[k])
     frame = np.asarray(frame3).transpose(1, 2, 0)
+    warn_dropped_paths(stats_acc)
     return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
 
 
@@ -414,11 +421,9 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         # showAC is a single whole-frame debug pass (no strips, no
         # SSAA) — delegate instead of stripping the normal image.
         if mesh is not None:
-            from rendering_tpu.parallel.shard import render_scene_sharded
+            from rendering_tpu.parallel.shard import _cached_sharded_fn
 
-            frame3, aux = jax.jit(functools.partial(
-                render_scene_sharded, mesh=mesh, ray_block=ray_block
-            ))(scene)
+            frame3, aux = _cached_sharded_fn(mesh, ray_block)(scene)
         else:
             frame3, aux = render_scene(scene, ray_block=ray_block)
         return (
@@ -447,13 +452,15 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             done = np.asarray(mask_ck).astype(bool)
 
     strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block)
+    dropped = 0.0
     for s in range(n_strips):
         if done[s]:
             continue
         y0 = s * strip_rows
         rows = min(strip_rows, h - y0)
-        part, _stats = strip_fn(scene, y0=y0, rows=rows)
+        part, s_stats = strip_fn(scene, y0=y0, rows=rows)
         accum3 = accum3 + np.asarray(part)
+        dropped += float(s_stats["paths_dropped"])
         done[s] = True
         save_checkpoint(checkpoint_path, s + 1, {}, {}, frame=accum3,
                         tile_mask=done)
@@ -468,12 +475,14 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
         base3 = frame3
-        frame3, n_masked, _ = ssaa_fn(scene_t, base3, capacity)
+        frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
         if int(n_masked) > capacity:  # auto-escalate: exact refinement
             capacity = min(w * h,
                            1 << (max(int(n_masked), 2) - 1).bit_length())
-            frame3, n_masked, _ = ssaa_fn(scene_t, base3, capacity)
+            frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
+        dropped += float(s2["paths_dropped"])
     frame = np.asarray(frame3).transpose(1, 2, 0)
+    warn_dropped_paths({"paths_dropped": dropped})
     return frame, {"ssaa_masked": n_masked}
 
 
@@ -497,7 +506,10 @@ def _render_strip(scene, *, y0: int, rows: int, ray_block: int):
         accum3 = jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(
             shade_normals(scene, ro, rd, ray_block=ray_block)
         )
-        return accum3, _zero_stats()
+        stats = _zero_stats()
+        # Strip totals sum to _primary_pass's w*h count.
+        stats["rays_casted"] = jnp.asarray(rows * w, jnp.float32)
+        return accum3, stats
     weight = jnp.ones((rows * w,), jnp.float32)
     return integrate(
         scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
