@@ -71,7 +71,31 @@ def run_size(width, height, n_tris, reps, forward_only=False):
     return (width * height) / dt
 
 
+def _probe_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast instead of hanging forever: when the axon TPU tunnel
+    is down, jax backend init blocks indefinitely (even with
+    JAX_PLATFORMS=cpu — the plugin dials the tunnel during
+    registration). Probe init in a killable subprocess first."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: jax backend init hung for {timeout_s:.0f}s — the "
+            f"TPU tunnel is unreachable; refusing to hang. Retry when "
+            f"the tunnel is up.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+
 def main() -> int:
+    _probe_backend()
     width = int(os.environ.get("BENCH_WIDTH", 3840))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     reps = int(os.environ.get("BENCH_REPS", 5))
