@@ -55,16 +55,29 @@ def make_aabb_acceptor(mesh, ro, rd, use_root_filter: bool):
     inv = 1.0 / rd  # (R, 3); inf on zero components like the reference
 
     def accept(lo_c, hi_c):  # (Tc, 3) reach boxes, already inside root
-        tmin = jnp.full((ro.shape[0], lo_c.shape[0]), -FLT_MAX, jnp.float32)
-        tmax = jnp.full((ro.shape[0], lo_c.shape[0]), FLT_MAX, jnp.float32)
-        for c in range(3):
-            t1 = (lo_c[None, :, c] - ro[:, c : c + 1]) * inv[:, c : c + 1]
-            t2 = (hi_c[None, :, c] - ro[:, c : c + 1]) * inv[:, c : c + 1]
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        # Reference slab semantics: no t >= 0 check (behind-origin boxes
-        # count as crossed, objects.cpp:534-570).
-        return tmin <= tmax
+        # LITERAL transcription of intersectBox (objects.cpp:534-570):
+        # sign-swap + pairwise running comparisons, no t >= 0 check
+        # (behind-origin boxes count as crossed). The interval form
+        # (max(mins) <= min(maxs)) is equivalent on real values but
+        # NaN-rejects the rd_c == 0 / origin-on-plane IEEE corner the
+        # reference accepts; must match slab_test and the Pallas
+        # kernel's root filter exactly.
+        def tpair(c):
+            neg = inv[:, c : c + 1] < 0  # (R, 1)
+            lo = jnp.where(neg, hi_c[None, :, c], lo_c[None, :, c])
+            hi = jnp.where(neg, lo_c[None, :, c], hi_c[None, :, c])
+            return (
+                (lo - ro[:, c : c + 1]) * inv[:, c : c + 1],
+                (hi - ro[:, c : c + 1]) * inv[:, c : c + 1],
+            )
+
+        tmin, tmax = tpair(0)
+        tymin, tymax = tpair(1)
+        hit = ~((tmin > tymax) | (tymin > tmax))
+        tmin = jnp.where(tymin > tmin, tymin, tmin)
+        tmax = jnp.where(tymax < tmax, tymax, tmax)
+        tzmin, tzmax = tpair(2)
+        return hit & ~((tmin > tzmax) | (tzmin > tmax))
 
     return accept
 

@@ -315,20 +315,32 @@ def _intersect_chunk(
     ok = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
 
     if use_root_filter:
-        # Reference slab semantics ((lo-ro)*inv, no t>=0 clamp;
-        # src/objects.cpp:534-570) against the root-clipped per-tri box.
-        shape = (tc, aux_ref.shape[1])
-        tmin = jnp.full(shape, -_FMAX, jnp.float32)
-        tmax = jnp.full(shape, _FMAX, jnp.float32)
-        for c in range(3):
+        # LITERAL transcription of the reference slab
+        # (AccelerationStructure::intersectBox, src/objects.cpp:534-570,
+        # sign-swap + pairwise running comparisons; no t>=0 clamp)
+        # against the root-clipped per-tri box. The interval form
+        # (max(mins) <= min(maxs)) is equivalent for real values but
+        # NaN-REJECTS the IEEE corner (rd_c == 0 with the origin
+        # exactly on a box plane -> 0 * inf = NaN) that the reference's
+        # negated comparisons accept — ops.intersect.slab_test (the
+        # BVH path) matches the reference, so this must too.
+        def tpair(c):
             lo_c = tri_col(9 + c)
             hi_c = tri_col(12 + c)
             inv_c = ray_row(6 + c)
-            t1 = (lo_c - ro[c]) * inv_c
-            t2 = (hi_c - ro[c]) * inv_c
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        ok = ok & (tmin <= tmax)
+            neg = inv_c < 0
+            lo = jnp.where(neg, hi_c, lo_c)
+            hi = jnp.where(neg, lo_c, hi_c)
+            return (lo - ro[c]) * inv_c, (hi - ro[c]) * inv_c
+
+        tmin, tmax = tpair(0)
+        tymin, tymax = tpair(1)
+        box_hit = ~((tmin > tymax) | (tymin > tmax))
+        tmin = jnp.where(tymin > tmin, tymin, tmin)
+        tmax = jnp.where(tymax < tmax, tymax, tmax)
+        tzmin, tzmax = tpair(2)
+        box_hit = box_hit & ~((tmin > tzmax) | (tzmin > tmax))
+        ok = ok & box_hit
 
     t_prev = t_ref[...]                      # (1, BR)
     ok = ok & (t < jnp.broadcast_to(t_prev, t.shape))
@@ -529,6 +541,11 @@ def _tile_live_exact(ro_t, inv_t, t0_t, cbox):
             ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
         live = ~(
             (ctmin > ctmax) | (ctmax < 0) | (ctmin >= t0_b[:, None])
+            # Resolved rays (t0 = -1: pre-done shadow lanes, padding,
+            # dead-weight paths) contribute no liveness even when a
+            # chunk straddles their origin (there ctmin < -1, so the
+            # ctmin >= t0 clause alone would keep it live).
+            | (t0_b[:, None] < 0)
         )
         return jnp.any(live, axis=0)  # (C,)
 
@@ -734,7 +751,12 @@ def bruteforce_mesh_pallas(
     if r_pad:
         ro_p = jnp.pad(ro, ((0, 0), (0, r_pad)))
         rd_p = jnp.pad(rd, ((0, 0), (0, r_pad)), constant_values=1.0)
-        t0 = jnp.pad(t0, (0, r_pad))
+        # Padded lanes are born resolved (t0 = -1, the done marker):
+        # the pre-pass and the per-step culls treat them as dead, so
+        # they add no live pairs and trigger no Moller-Trumbore work
+        # (a 0 pad left origin-crossing chunks live for every padded
+        # tile). Their outputs are sliced off below.
+        t0 = jnp.pad(t0, (0, r_pad), constant_values=-1.0)
     invT = 1.0 / rd_p
     aux = jnp.concatenate(
         [ro_p, rd_p, invT, t0[None, :],

@@ -86,7 +86,8 @@ def _round_robin_layout(r: int, ndev: int):
     return rp, tiles[order].reshape(-1)
 
 
-def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block):
+def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block,
+                             queue_headroom: int = 1):
     """shard_map'd slot integration shared by the primary and strip
     passes: each device integrates its (xs, ys) primary rays with
     identity local pixel ids (slot accumulation when nothing bounces).
@@ -109,6 +110,7 @@ def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block):
                 scene, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
                 jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
                 ray_block=ray_block, out_slots=not st.any_bouncing,
+                queue_headroom=queue_headroom,
             )
         stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
         return accum3, stats
@@ -119,7 +121,7 @@ def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block):
     )(scene, xs, ys)
 
 
-def _primary_sharded(scene, mesh: Mesh, *, ray_block):
+def _primary_sharded(scene, mesh: Mesh, *, ray_block, queue_headroom=1):
     st = scene.static
     w, h = st.settings.width, st.settings.height
     ndev = mesh.devices.size
@@ -130,7 +132,8 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
     ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
 
     accum3, stats = _integrate_slots_sharded(
-        scene, mesh, xs, ys, ray_block=ray_block
+        scene, mesh, xs, ys, ray_block=ray_block,
+        queue_headroom=queue_headroom,
     )
     if st.settings.show_normals:
         stats["rays_casted"] = jnp.asarray(r, jnp.float32)
@@ -143,7 +146,8 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block):
     return frame3, stats
 
 
-def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block):
+def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
+                  queue_headroom: int = 1):
     """Sobel-adaptive refinement. Returns (frame3, n_masked, stats)."""
     st = scene.static
     w, h = st.settings.width, st.settings.height
@@ -181,7 +185,8 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block):
             stats = _zero_stats()
         else:
             accum3, stats = integrate(
-                scene, ro, rd, pixk, wt, n_pixels=w * h, ray_block=ray_block
+                scene, ro, rd, pixk, wt, n_pixels=w * h, ray_block=ray_block,
+                queue_headroom=queue_headroom,
             )
         # Refined pixels are disjoint across devices -> psum assembles.
         accum3 = jax.lax.psum(accum3, "rays")
@@ -199,7 +204,8 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block):
 
 
 def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
-                         ray_block: int = DEFAULT_RAY_BLOCK):
+                         ray_block: int = DEFAULT_RAY_BLOCK,
+                         queue_headroom: int = 1):
     """Sharded analogue of pipeline._render_strip: integrate the primary
     rays of pixel rows [y0, y0+rows) with the strip's rays round-robin
     tile-interleaved across the mesh. Returns (full-size flat (3, W*H)
@@ -222,7 +228,8 @@ def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
     ys = (y0 + local_pix // w).astype(jnp.float32)
 
     accum3, stats = _integrate_slots_sharded(
-        scene, mesh, xs, ys, ray_block=ray_block
+        scene, mesh, xs, ys, ray_block=ray_block,
+        queue_headroom=queue_headroom,
     )
     if st.settings.show_normals:
         stats["rays_casted"] = jnp.asarray(r, jnp.float32)
@@ -236,21 +243,26 @@ def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_ssaa_sharded_fn(mesh: Mesh, ray_block: int, capacity: int):
+def _cached_ssaa_sharded_fn(mesh: Mesh, ray_block: int, capacity: int,
+                            queue_headroom: int = 1):
     def fn(scene_t, frame3):
         return _ssaa_sharded(scene_t, frame3, mesh, capacity=capacity,
-                             ray_block=ray_block)
+                             ray_block=ray_block,
+                             queue_headroom=queue_headroom)
 
     return jax.jit(fn)
 
 
 def ssaa_pass_sharded(scene_t, frame3, mesh: Mesh, *, capacity: int,
-                      ray_block: int = DEFAULT_RAY_BLOCK):
+                      ray_block: int = DEFAULT_RAY_BLOCK,
+                      queue_headroom: int = 1):
     """Jitted sharded SSAA refinement with the same
     (frame3, n_masked, stats) contract as pipeline._ssaa_pass. Expects
     a derive_mesh_tables'd scene (like _ssaa_pass when called from the
     strip paths)."""
-    return _cached_ssaa_sharded_fn(mesh, ray_block, capacity)(scene_t, frame3)
+    return _cached_ssaa_sharded_fn(
+        mesh, ray_block, capacity, queue_headroom
+    )(scene_t, frame3)
 
 
 def _show_ac_sharded(scene, mesh: Mesh):
@@ -283,12 +295,16 @@ def _show_ac_sharded(scene, mesh: Mesh):
 
 
 def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
-                         ssaa_capacity: int | None = None):
+                         ssaa_capacity: int | None = None,
+                         queue_headroom: int = 1):
     """Jittable sharded render over `mesh` (1-D, axis 'rays').
     Returns (frame3 (3, H, W), aux) identical (up to f32 scheduling) to
     rendering_tpu.render.pipeline.render_scene. `ssaa_capacity`
-    overrides the fraction-derived refinement queue size (used by
-    render_sharded's overflow auto-escalation)."""
+    overrides the fraction-derived refinement queue size and
+    `queue_headroom` multiplies the per-device transparent-queue
+    capacity (used by render_sharded's overflow auto-escalations —
+    a device owning more than its 1/ndev share of glass pixels can
+    need headroom the single-device render doesn't)."""
     from rendering_tpu.render.pipeline import derive_mesh_tables
 
     scene = derive_mesh_tables(scene)
@@ -298,7 +314,9 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
         frame3 = _show_ac_sharded(scene, mesh)
         return frame3, {"stats": _zero_stats(),
                         "ssaa_masked": jnp.zeros((), jnp.int32)}
-    frame3, stats = _primary_sharded(scene, mesh, ray_block=ray_block)
+    frame3, stats = _primary_sharded(
+        scene, mesh, ray_block=ray_block, queue_headroom=queue_headroom
+    )
     n_masked = jnp.zeros((), jnp.int32)
     if settings.enable_ssaa:
         capacity = ssaa_capacity or max(
@@ -307,7 +325,8 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
                 * settings.ssaa_capacity_fraction),
         )
         frame3, n_masked, s2 = _ssaa_sharded(
-            scene, frame3, mesh, capacity=capacity, ray_block=ray_block
+            scene, frame3, mesh, capacity=capacity, ray_block=ray_block,
+            queue_headroom=queue_headroom,
         )
         for k in stats:
             stats[k] = stats[k] + s2[k]
@@ -318,34 +337,50 @@ def render_sharded(scene, mesh: Mesh | None = None,
                    ray_block: int = DEFAULT_RAY_BLOCK):
     """Host-facing sharded render: ((H, W, 3) numpy frame, aux).
 
-    Like pipeline.render, an SSAA mask larger than the fraction-derived
-    queue capacity auto-escalates with a bigger queue (otherwise the
-    `where(mask, refined, frame)` select would blacken the unrefined
-    overflow pixels), so the output matches the single-chip render()
-    for any ssaa_capacity_fraction."""
+    Like pipeline.render, both static queue sizes auto-escalate so the
+    output matches the single-chip render(): the SSAA refinement
+    capacity on mask overflow, and the per-device transparent-queue
+    headroom on path drops (sharding divides the queue by ndev, so an
+    imbalanced glass region can overflow a device's share)."""
+    from rendering_tpu.render.pipeline import (
+        MAX_QUEUE_HEADROOM,
+        warn_dropped_paths,
+    )
+
     mesh = mesh or make_ray_mesh()
-    fn = _cached_sharded_fn(mesh, ray_block)
-    frame3, aux = fn(scene)
     st = scene.static.settings
     cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
-    n_masked = int(aux["ssaa_masked"])
-    if st.enable_ssaa and not st.show_ac and n_masked > cap:
-        cap2 = min(
-            st.width * st.height, 1 << (max(n_masked, 2) - 1).bit_length()
-        )
-        frame3, aux = _cached_sharded_fn(mesh, ray_block, cap2)(scene)
-    from rendering_tpu.render.pipeline import warn_dropped_paths
-
+    ssaa_cap = None
+    headroom = 1
+    while True:
+        frame3, aux = _cached_sharded_fn(
+            mesh, ray_block, ssaa_cap, headroom
+        )(scene)
+        redo = False
+        n_masked = int(aux["ssaa_masked"])
+        if st.enable_ssaa and not st.show_ac and n_masked > (ssaa_cap or cap):
+            ssaa_cap = min(
+                st.width * st.height,
+                1 << (max(n_masked, 2) - 1).bit_length(),
+            )
+            redo = True
+        if (float(aux["stats"].get("paths_dropped", 0.0)) > 0
+                and headroom < MAX_QUEUE_HEADROOM):
+            headroom *= 2
+            redo = True
+        if not redo:
+            break
     warn_dropped_paths(aux["stats"])
     return np.asarray(frame3).transpose(1, 2, 0), aux
 
 
 @functools.lru_cache(maxsize=16)
 def _cached_sharded_fn(mesh: Mesh, ray_block: int,
-                       ssaa_capacity: int | None = None):
+                       ssaa_capacity: int | None = None,
+                       queue_headroom: int = 1):
     return jax.jit(
         functools.partial(
             render_scene_sharded, mesh=mesh, ray_block=ray_block,
-            ssaa_capacity=ssaa_capacity,
+            ssaa_capacity=ssaa_capacity, queue_headroom=queue_headroom,
         )
     )

@@ -80,6 +80,7 @@ from rendering_tpu.ops.texture import (
     sample_packed_bilinear_r,
     sample_packed_r,
 )
+from rendering_tpu.ops.traversal import traverse_bvh
 
 
 def _samplers(settings):
@@ -95,7 +96,6 @@ def _samplers(settings):
             f"got {settings.texture_filter!r}"
         )
     return sample_packed_r, sample_map_r
-from rendering_tpu.ops.traversal import traverse_bvh
 
 # Rays per block of the bounce body (bounds every per-ray temporary).
 # 128k rays = 128 ray tiles per oracle call: measured ~15% faster than
@@ -661,7 +661,14 @@ def _bounce_block(scene, ro3, rd3, weight, active) -> BlockOut:
     st = scene.static
     stats = _zero_stats()
 
-    hit, t_stats = trace_closest(scene, ro3, rd3)
+    # Inactive lanes (weight-0 queue padding, TIR children, terminated
+    # paths) get t_limit = -1: the kernel's pre-pass and per-step culls
+    # treat them as resolved, so they cost no intersection work. Their
+    # contributions were already masked by `active`; exact either way.
+    hit, t_stats = trace_closest(
+        scene, ro3, rd3,
+        t_limit=jnp.where(active, FLT_MAX, -1.0),
+    )
     for k in stats:
         stats[k] = stats[k] + t_stats[k]
     hit_m = hit.hit & active
@@ -699,19 +706,22 @@ def _bounce_block(scene, ro3, rd3, weight, active) -> BlockOut:
     )
     hc_reflective = spec_c3
 
-    ior = _per_obj(scene.obj_ior, hit.obj, st.n_objects)
-    kr = fresnel_r(rd3, normal3, ior)
-    hc_transparent = spec_c3 * kr[None, :]
+    if st.any_transparent:
+        ior = _per_obj(scene.obj_ior, hit.obj, st.n_objects)
+        kr = fresnel_r(rd3, normal3, ior)
+        hc_last = jnp.where(
+            (mat == MAT_REFLECTIVE)[None, :], hc_reflective,
+            spec_c3 * kr[None, :],
+        )
+    else:
+        # No transparent materials in the scene (static): the fresnel
+        # evaluation and its where-arm are dead — skip them per bounce.
+        hc_last = hc_reflective
 
     hc = jnp.where(
         (mat == MAT_DIFFUSE)[None, :],
         hc_diffuse,
-        jnp.where(
-            (mat == MAT_PHONG)[None, :],
-            hc_phong,
-            jnp.where((mat == MAT_REFLECTIVE)[None, :], hc_reflective,
-                      hc_transparent),
-        ),
+        jnp.where((mat == MAT_PHONG)[None, :], hc_phong, hc_last),
     )
     contrib3 = contrib3 + jnp.where(hit_m[None, :], weight[None, :] * hc, 0.0)
 
@@ -792,12 +802,12 @@ def _bounce(scene, queue: Queue, accum3, stats, *, slot_accum: bool):
     for k in stats:
         stats[k] = stats[k] + jnp.sum(out.stats[k])
 
+    pix_flat = queue.pix.reshape(q)
     if slot_accum:
         accum3 = accum3 + out.contrib3
     else:
         # Scatter contributions (values flat to (3, Q) — minor dim Q).
         contrib_flat = jnp.moveaxis(out.contrib3, 0, 1).reshape(3, q)
-        pix_flat = queue.pix.reshape(q)
         accum3 = accum3.at[:, pix_flat].add(contrib_flat)
 
     if not st.any_transparent:
@@ -896,7 +906,7 @@ def _to_blocks(ro, rd, pix, weight, block):
 
 def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
               ray_block: int = DEFAULT_RAY_BLOCK,
-              out_slots: bool = False):
+              out_slots: bool = False, queue_headroom: int = 1):
     """Run the full bounce loop for a ray batch; scatter-add weighted
     radiance into a (3, n_pixels) accumulator. Returns (accum3, stats).
 
@@ -907,14 +917,44 @@ def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
     with a transpose/static gather instead of a huge scatter). Only
     valid without transparent materials: the transparent queue resort
     reassigns slots mid-loop.
+
+    queue_headroom > 1 (static) appends that many extra dead queue
+    blocks on transparent scenes, raising the continuation-compaction
+    capacity to headroom * len(ro): when the 2^depth transparent tree
+    outgrows one slot per input ray (glass-heavy frames, or a sharded
+    device owning more than its share of glass pixels), paths survive
+    instead of being weight-dropped. Dead lanes cost almost nothing to
+    trace (t_limit = -1 culls them in the intersection kernel). The
+    host wrappers escalate it automatically when stats report drops.
     """
     st = scene.static
     if out_slots:
         assert not st.any_transparent, "slot accumulation needs fixed slots"
     n_bounces = (st.settings.max_ray_depth + 1) if st.any_bouncing else 1
     r_in = ro.shape[0]
+    if r_in == 0:  # empty batch: _to_blocks would divide by block=0
+        empty = (jnp.zeros((3, 0), jnp.float32) if out_slots
+                 else jnp.zeros((3, n_pixels), jnp.float32))
+        return empty, _zero_stats()
     stats = _zero_stats()
     queue = _to_blocks(ro, rd, pix, weight, min(ray_block, ro.shape[0]))
+    if queue_headroom > 1 and st.any_transparent:
+        nb0, _, B0 = queue.ro3.shape
+        extra = nb0 * (queue_headroom - 1)
+        queue = Queue(
+            ro3=jnp.concatenate(
+                [queue.ro3, jnp.zeros((extra, 3, B0), jnp.float32)]
+            ),
+            rd3=jnp.concatenate(
+                [queue.rd3, jnp.ones((extra, 3, B0), jnp.float32)]
+            ),
+            weight=jnp.concatenate(
+                [queue.weight, jnp.zeros((extra, B0), jnp.float32)]
+            ),
+            pix=jnp.concatenate(
+                [queue.pix, jnp.zeros((extra, B0), jnp.int32)]
+            ),
+        )
     if out_slots:
         accum3 = jnp.zeros(queue.ro3.shape, jnp.float32)  # (nb, 3, B)
     else:
@@ -968,6 +1008,8 @@ def shade_normals(scene, ro, rd, *, ray_block: int = DEFAULT_RAY_BLOCK):
     before any recursion). ro/rd: (Q, 3); returns (3, Q)."""
     st = scene.static
     q = ro.shape[0]
+    if q == 0:
+        return jnp.zeros((3, 0), jnp.float32)
     block = min(ray_block, q)
     nb = max(1, -(-q // block))
     pad = nb * block - q

@@ -50,7 +50,7 @@ def _untile(slots3, w: int, h: int):
     return t.transpose(0, 1, 3, 2, 4).reshape(3, h, w)
 
 
-def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
+def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK, queue_headroom=1):
     st = scene.static
     w, h = st.settings.width, st.settings.height
     ro, rd, pix = primary_rays(scene, offset=1.0)
@@ -64,7 +64,7 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
         if st.any_bouncing:
             accum3, stats = integrate(
                 scene, ro, rd, pix, weight, n_pixels=w * h,
-                ray_block=ray_block,
+                ray_block=ray_block, queue_headroom=queue_headroom,
             )
             frame3 = accum3.reshape(3, h, w)
         else:
@@ -82,8 +82,11 @@ def _primary_pass(scene, *, ray_block=DEFAULT_RAY_BLOCK):
     return frame3, stats
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "ray_block"))
-def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "ray_block", "queue_headroom")
+)
+def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK,
+               queue_headroom: int = 1):
     """Sobel-adaptive refinement. Returns (frame3, n_masked, stats).
     Jitted standalone for the strip-rendering paths (render_scene traces
     it inline; jit-of-jit is free)."""
@@ -122,7 +125,8 @@ def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK):
         stats = _zero_stats()
     else:
         accum3, stats = integrate(
-            scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
+            scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block,
+            queue_headroom=queue_headroom,
         )
 
     refined3 = accum3.reshape(3, h, w)
@@ -202,15 +206,21 @@ def derive_mesh_tables(scene):
     return dataclasses.replace(scene, meshes=meshes)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_block", "ssaa_capacity"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_block", "ssaa_capacity", "queue_headroom"),
+)
 def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
-                 ssaa_capacity: int | None = None):
+                 ssaa_capacity: int | None = None,
+                 queue_headroom: int = 1):
     """Full jitted render: returns (frame3 (3, H, W) f32, aux dict).
 
     aux contains device-side stats counters and the SSAA mask size
     (for capacity-overflow detection host-side). `ssaa_capacity`
-    overrides the fraction-derived refinement queue size (used by the
-    host wrapper's overflow auto-escalation).
+    overrides the fraction-derived refinement queue size;
+    `queue_headroom` multiplies the transparent continuation-queue
+    capacity (both used by the host wrapper's overflow
+    auto-escalations).
     """
     scene = derive_mesh_tables(scene)
     st = scene.static
@@ -220,7 +230,9 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
         return frame3, {"stats": _zero_stats(),
                         "ssaa_masked": jnp.zeros((), jnp.int32)}
 
-    frame3, stats = _primary_pass(scene, ray_block=ray_block)
+    frame3, stats = _primary_pass(
+        scene, ray_block=ray_block, queue_headroom=queue_headroom
+    )
     n_masked = jnp.zeros((), jnp.int32)
     if settings.enable_ssaa:
         capacity = ssaa_capacity or max(
@@ -228,35 +240,58 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
                    * settings.ssaa_capacity_fraction)
         )
         frame3, n_masked, s2 = _ssaa_pass(
-            scene, frame3, capacity=capacity, ray_block=ray_block
+            scene, frame3, capacity=capacity, ray_block=ray_block,
+            queue_headroom=queue_headroom,
         )
         for k in stats:
             stats[k] = stats[k] + s2[k]
     return frame3, {"stats": stats, "ssaa_masked": n_masked}
 
 
+# Upper bound for the transparent-queue headroom escalation: headroom
+# h costs h x queue lanes per bounce (dead lanes are kernel-culled but
+# still shade), so a frame whose transparent tree outgrows 8 slots per
+# pixel keeps the drop warning instead of escalating further.
+MAX_QUEUE_HEADROOM = 8
+
+
 def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     """Host-facing render: returns ((H, W, 3) numpy frame, aux).
 
-    SSAA queue overflow (more Sobel-masked edge pixels than the
-    fraction-derived capacity) auto-escalates: the render is redone
-    with the capacity raised to the measured mask size (rounded up to
-    a power of two to bound recompiles), so the output always equals
-    the exact fraction=1.0 result regardless of
-    ssaa_capacity_fraction."""
+    Two auto-escalations keep the output exact regardless of the
+    static queue sizes (each redo is a bounded recompile):
+    * SSAA overflow — more Sobel-masked edge pixels than the
+      fraction-derived capacity: redo with the capacity raised to the
+      measured mask size (next power of two), equal to fraction=1.0.
+    * Transparent-path drops — the 2^depth continuation tree outgrew
+      one queue slot per input ray: redo with the queue headroom
+      doubled (the reference's recursion never drops paths), up to
+      MAX_QUEUE_HEADROOM (then the drop warning stands)."""
     import numpy as np
 
-    frame3, aux = render_scene(scene, ray_block=ray_block)
     st = scene.static.settings
     cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
-    n_masked = int(aux["ssaa_masked"])
-    if st.enable_ssaa and not st.show_ac and n_masked > cap:
-        cap2 = min(
-            st.width * st.height, 1 << (max(n_masked, 2) - 1).bit_length()
-        )
+    ssaa_cap = None
+    headroom = 1
+    while True:
         frame3, aux = render_scene(
-            scene, ray_block=ray_block, ssaa_capacity=cap2
+            scene, ray_block=ray_block, ssaa_capacity=ssaa_cap,
+            queue_headroom=headroom,
         )
+        redo = False
+        n_masked = int(aux["ssaa_masked"])
+        if st.enable_ssaa and not st.show_ac and n_masked > (ssaa_cap or cap):
+            ssaa_cap = min(
+                st.width * st.height,
+                1 << (max(n_masked, 2) - 1).bit_length(),
+            )
+            redo = True
+        if (float(aux["stats"].get("paths_dropped", 0.0)) > 0
+                and headroom < MAX_QUEUE_HEADROOM):
+            headroom *= 2
+            redo = True
+        if not redo:
+            break
     frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(aux["stats"])
     return frame, aux
@@ -276,19 +311,21 @@ def warn_dropped_paths(stats) -> None:
         )
 
 
-def _make_strip_fns(mesh, ray_block):
+def _make_strip_fns(mesh, ray_block, queue_headroom=1):
     """(strip_fn, ssaa_fn) for the strip-rendering paths: single-device
     when mesh is None, shard_map'd over the mesh otherwise. Same
     contracts either way."""
     if mesh is None:
         strip_fn = jax.jit(
-            functools.partial(_render_strip, ray_block=ray_block),
+            functools.partial(_render_strip, ray_block=ray_block,
+                              queue_headroom=queue_headroom),
             static_argnames=("y0", "rows"),
         )
 
         def ssaa_fn(scene_t, frame3, capacity):
             return _ssaa_pass(scene_t, frame3, capacity=capacity,
-                              ray_block=ray_block)
+                              ray_block=ray_block,
+                              queue_headroom=queue_headroom)
 
         return strip_fn, ssaa_fn
 
@@ -299,20 +336,23 @@ def _make_strip_fns(mesh, ray_block):
 
     strip_fn = jax.jit(
         functools.partial(render_strip_sharded, mesh=mesh,
-                          ray_block=ray_block),
+                          ray_block=ray_block,
+                          queue_headroom=queue_headroom),
         static_argnames=("y0", "rows"),
     )
 
     def ssaa_fn(scene_t, frame3, capacity):
         return ssaa_pass_sharded(scene_t, frame3, mesh, capacity=capacity,
-                                 ray_block=ray_block)
+                                 ray_block=ray_block,
+                                 queue_headroom=queue_headroom)
 
     return strip_fn, ssaa_fn
 
 
 def render_with_progress(scene, *, strip_rows: int = 128,
                          ray_block: int = DEFAULT_RAY_BLOCK,
-                         mesh=None, _now=None, _print=print):
+                         mesh=None, queue_headroom: int = 1,
+                         _now=None, _print=print):
     """`outputProgress` render (src/scene.cpp:486-492): the frame is
     produced in horizontal strips and the completed-pixel percentage is
     printed at most once per second, formatted like the reference
@@ -353,7 +393,7 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     last = now()
     done_px = 0
     coef = 100.0 / (w * h)
-    strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block)
+    strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
     stats_acc = {k: 0.0 for k in _zero_stats()}
     for s in range(n_strips):
         y0 = s * strip_rows
@@ -385,6 +425,14 @@ def render_with_progress(scene, *, strip_rows: int = 128,
             frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
         for k in stats_acc:
             stats_acc[k] += float(s2[k])
+    if (stats_acc["paths_dropped"] > 0
+            and queue_headroom < MAX_QUEUE_HEADROOM):
+        # Transparent tree outgrew the queue: redo with double headroom
+        # (same escalation as render(); the reference never drops).
+        return render_with_progress(
+            scene, strip_rows=strip_rows, ray_block=ray_block, mesh=mesh,
+            queue_headroom=queue_headroom * 2, _now=_now, _print=_print,
+        )
     frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(stats_acc)
     return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
@@ -392,7 +440,7 @@ def render_with_progress(scene, *, strip_rows: int = 128,
 
 def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
                      resume: bool = True, ray_block: int = DEFAULT_RAY_BLOCK,
-                     mesh=None):
+                     mesh=None, queue_headroom: int = 1):
     """Preemption-safe render: the frame is produced in horizontal strips
     of `strip_rows` pixel rows, checkpointing the accumulated framebuffer
     and finished-strip mask after each strip (SURVEY sections 5.3/5.4 —
@@ -451,7 +499,7 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             accum3 = np.asarray(frame_ck)
             done = np.asarray(mask_ck).astype(bool)
 
-    strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block)
+    strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
     dropped = 0.0
     for s in range(n_strips):
         if done[s]:
@@ -481,12 +529,21 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
                            1 << (max(int(n_masked), 2) - 1).bit_length())
             frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
         dropped += float(s2["paths_dropped"])
+    if dropped > 0 and queue_headroom < MAX_QUEUE_HEADROOM:
+        # Redo from scratch with double headroom (resume=False: the
+        # checkpointed strips were rendered with the dropping queue).
+        return render_resumable(
+            scene, checkpoint_path, strip_rows=strip_rows, resume=False,
+            ray_block=ray_block, mesh=mesh,
+            queue_headroom=queue_headroom * 2,
+        )
     frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths({"paths_dropped": dropped})
     return frame, {"ssaa_masked": n_masked}
 
 
-def _render_strip(scene, *, y0: int, rows: int, ray_block: int):
+def _render_strip(scene, *, y0: int, rows: int, ray_block: int,
+                  queue_headroom: int = 1):
     """Integrate the primary rays of pixel rows [y0, y0+rows) into a
     full-size flat accumulator (jittable; y0/rows static)."""
     scene = derive_mesh_tables(scene)
@@ -512,5 +569,6 @@ def _render_strip(scene, *, y0: int, rows: int, ray_block: int):
         return accum3, stats
     weight = jnp.ones((rows * w,), jnp.float32)
     return integrate(
-        scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block
+        scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block,
+        queue_headroom=queue_headroom,
     )

@@ -277,3 +277,69 @@ def test_fallback_coarse_retile(monkeypatch, empty_ladder):
     np.testing.assert_allclose(
         np.asarray(t1)[both], np.asarray(t2)[both], rtol=2e-5, atol=2e-6
     )
+
+
+def test_root_filter_nan_corner_matches_reference_slab():
+    """A ray lying exactly on a reach-box plane with a zero direction
+    component makes the slab arithmetic produce 0 * inf = NaN; the
+    reference's negated comparisons (objects.cpp:534-570) treat that
+    box as crossed. The interval-form filter (max(mins) <= min(maxs))
+    NaN-rejected it, silently culling the triangle on the dense and
+    Pallas paths while the BVH walk (literal slab_test) accepted it —
+    all three paths must agree on the reference semantics."""
+    from rendering_tpu.models.objloader import MeshArrays
+    from rendering_tpu.ops.traversal import traverse_bvh
+
+    verts = np.array([[[0, 0, -5], [1, 0, -5], [0, 1, -5]]], np.float32)
+    ma = MeshArrays(
+        v=verts,
+        n=np.zeros((1, 3, 3), np.float32),
+        uv=np.zeros((1, 3, 2), np.float32),
+        tangent=np.zeros((1, 3), np.float32),
+        bitangent=np.zeros((1, 3), np.float32),
+        root_bounds=np.array([[0, 0, -6], [2, 2, -4]], np.float32),
+    )
+    sd = SceneDef(settings=RenderSettings(width=8, height=8))
+    obj = ObjectDef("mesh", pos=(0, 0, -5), size=(2, 2, 2), color=(1, 1, 1))
+    obj.mesh = ma
+    sd.objects = [obj]
+    scene = build_scene(sd)
+    mesh = scene.meshes[0]
+
+    # reach-box x-lo is exactly 0.0 == ro.x, and rd.x == 0 -> NaN slab.
+    ro = jnp.asarray([[0.0, 0.25, 0.0]], jnp.float32)
+    rd = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    t_b, tri_b, _, _ = bruteforce_mesh(mesh, ro, rd, use_root_filter=True)
+    t_p, tri_p, _, _ = bruteforce_mesh_pallas(
+        mesh, ro, rd, use_root_filter=True, interpret=True
+    )
+    r = traverse_bvh(mesh, ro.reshape(1, 3), rd.reshape(1, 3))
+    assert int(tri_b[0]) == 0, "dense path must accept the NaN corner"
+    assert int(tri_p[0]) == 0, "Pallas path must accept the NaN corner"
+    assert int(r.tri[0]) == 0
+    np.testing.assert_allclose(float(t_b[0]), 5.0, rtol=1e-6)
+    np.testing.assert_allclose(float(t_p[0]), 5.0, rtol=1e-6)
+
+
+def test_integrate_empty_batch():
+    """integrate()/shade_normals with zero rays return empty/zero
+    results instead of dividing by a zero block size."""
+    from rendering_tpu.render.integrator import integrate, shade_normals
+
+    mesh_arrays = procedural_mesh(100, pos=(0, 0, -3), size=(2, 2, 2))
+    sd = SceneDef(settings=RenderSettings(width=8, height=8))
+    obj = ObjectDef("mesh", pos=(0, 0, -3), size=(2, 2, 2), color=(1, 1, 1))
+    obj.mesh = mesh_arrays
+    sd.objects = [obj]
+    scene = build_scene(sd)
+
+    ro = jnp.zeros((0, 3), jnp.float32)
+    rd = jnp.zeros((0, 3), jnp.float32)
+    accum3, stats = integrate(
+        scene, ro, rd, jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0,), jnp.float32), n_pixels=64,
+    )
+    assert accum3.shape == (3, 64)
+    assert float(jnp.sum(jnp.abs(accum3))) == 0.0
+    assert float(stats["rays_casted"]) == 0.0
+    assert shade_normals(scene, ro, rd).shape == (3, 0)
