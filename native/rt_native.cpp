@@ -156,22 +156,37 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
             line[--len] = 0;
         if (!len) continue;
 
-        // header token
+        // header token (%n: offset PAST the token — `line +
+        // strlen(head)` would land inside any leading whitespace and
+        // silently drop the line, diverging from the Python loader's
+        // split()).
         char head[32] = {0};
-        if (std::sscanf(line, "%31s", head) != 1) continue;
-        const char* rest = line + std::strlen(head);
+        int head_end = 0;
+        if (std::sscanf(line, "%31s%n", head, &head_end) != 1) continue;
+        const char* rest = line + head_end;
         while (*rest == ' ' || *rest == '\t') rest++;
 
         if (!std::strcmp(head, "v")) {
             float x, y, z;
             if (std::sscanf(rest, "%f %f %f", &x, &y, &z) != 3) continue;
             if (!normalized) {
-                if (x < vmin.x) vmin.x = x;
-                if (y < vmin.y) vmin.y = y;
-                if (z < vmin.z) vmin.z = z;
-                if (x > vmax.x) vmax.x = x;
-                if (y > vmax.y) vmax.y = y;
-                if (z > vmax.z) vmax.z = z;
+                // np.minimum/maximum.reduce semantics (the Python
+                // loader's first-face bounds): NaN coordinates
+                // propagate into the bounds; plain if-comparisons
+                // would silently ignore them and build a divergent
+                // mesh transform.
+                auto nmin = [](float a, float b) {
+                    return (a != a || b != b) ? NAN : (b < a ? b : a);
+                };
+                auto nmax = [](float a, float b) {
+                    return (a != a || b != b) ? NAN : (b > a ? b : a);
+                };
+                vmin.x = nmin(vmin.x, x);
+                vmin.y = nmin(vmin.y, y);
+                vmin.z = nmin(vmin.z, z);
+                vmax.x = nmax(vmax.x, x);
+                vmax.y = nmax(vmax.y, y);
+                vmax.z = nmax(vmax.z, z);
             }
             verts.push_back({x, y, z});  // raw if after first face
         } else if (!std::strcmp(head, "vn")) {
@@ -194,7 +209,18 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
                 while (*p) {
                     while (*p == ' ' || *p == '\t') p++;
                     if (!*p) break;
-                    vi.push_back(std::strtoll(p, (char**)&p, 10));
+                    char* endp = nullptr;
+                    int64_t a = std::strtoll(p, &endp, 10);
+                    if (endp == p) {
+                        // Non-numeric token: the Python loader raises
+                        // ValueError (int(tok)); strtoll would not
+                        // advance, so continuing would loop forever.
+                        std::fclose(f);
+                        delete res;
+                        return nullptr;
+                    }
+                    p = endp;
+                    vi.push_back(a);
                 }
             } else if (slash_count % 2 == 0) {
                 const char* p = rest;
@@ -202,7 +228,17 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
                     while (*p == ' ' || *p == '\t') p++;
                     if (!*p) break;
                     int64_t a = 0, b = 0, c = 0;
-                    a = std::strtoll(p, (char**)&p, 10);
+                    char* endp = nullptr;
+                    a = std::strtoll(p, &endp, 10);
+                    if (endp == p && *p != '/') {
+                        // Non-numeric field ("x/1/2"): Python's
+                        // int(fields[0]) raises; an EMPTY field
+                        // ("/1/2") is 0 there and must not error.
+                        std::fclose(f);
+                        delete res;
+                        return nullptr;
+                    }
+                    p = endp;
                     if (*p == '/') {
                         p++;
                         if (*p != '/') b = std::strtoll(p, (char**)&p, 10);
@@ -222,6 +258,15 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
             }
             bool has_n = !ni.empty();
             bool has_t = !ti.empty() && has_n;
+            // Mixed per-token formats can leave ni/ti shorter than vi;
+            // the Python loader's ni[i+1]/ti[i+1] raises IndexError
+            // there — reading past the vector here would be UB.
+            if ((has_n && ni.size() < vi.size()) ||
+                (has_t && ti.size() < vi.size())) {
+                std::fclose(f);
+                delete res;
+                return nullptr;
+            }
             for (size_t i = 1; i + 1 < vi.size(); i++) {
                 fv.push_back(vi[0] - 1);
                 fv.push_back(vi[i] - 1);
@@ -253,9 +298,22 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
     res->tangent.resize(T * 3);
     res->bitangent.resize(T * 3);
 
+    // Index semantics of the Python loader's numpy gathers: indices in
+    // [-len, len) are valid (negatives wrap), anything else raises —
+    // we return nullptr so the wrapper falls back to that error.
+    auto wrap_idx = [](int64_t a, size_t len) -> int64_t {
+        if (a < -(int64_t)len || a >= (int64_t)len) return -1;
+        return a < 0 ? a + (int64_t)len : a;
+    };
     for (int64_t t = 0; t < T; t++) {
         V3 tv[3];
         for (int k = 0; k < 3; k++) {
+            int64_t idx = wrap_idx(fv[t * 3 + k], verts.size());
+            if (idx < 0) {
+                delete res;
+                return nullptr;
+            }
+            fv[t * 3 + k] = idx;
             tv[k] = verts[(size_t)fv[t * 3 + k]];
             res->v[t * 9 + k * 3 + 0] = tv[k].x;
             res->v[t * 9 + k * 3 + 1] = tv[k].y;
@@ -264,6 +322,10 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
         // normals: explicit or unnormalized face cross product
         if (fn[t * 3] >= 0) {
             for (int k = 0; k < 3; k++) {
+                if (fn[t * 3 + k] >= (int64_t)normals.size()) {
+                    delete res;
+                    return nullptr;
+                }
                 const V3& n = normals[(size_t)fn[t * 3 + k]];
                 res->n[t * 9 + k * 3 + 0] = n.x;
                 res->n[t * 9 + k * 3 + 1] = n.y;
@@ -283,7 +345,13 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
         bool has_uv = ft[t * 3] >= 0;
         V2 tuv[3] = {{0, 0}, {0, 0}, {0, 0}};
         if (has_uv) {
-            for (int k = 0; k < 3; k++) tuv[k] = uvs[(size_t)ft[t * 3 + k]];
+            for (int k = 0; k < 3; k++) {
+                if (ft[t * 3 + k] >= (int64_t)uvs.size()) {
+                    delete res;
+                    return nullptr;
+                }
+                tuv[k] = uvs[(size_t)ft[t * 3 + k]];
+            }
         }
         for (int k = 0; k < 3; k++) {
             res->uv[t * 6 + k * 2 + 0] = tuv[k].u;

@@ -137,6 +137,11 @@ def _to_bool(s: str) -> bool:
 
 def _to_vec3(s: str) -> tuple[float, float, float]:
     parts = s.split(",")
+    # std::getline(stream, cell, ',') never yields a final empty cell
+    # for a single trailing delimiter ("1,2,3," -> 3 cells in the
+    # reference's splitString, util.h:78-86) — drop exactly that one.
+    if s.endswith(",") and parts and parts[-1] == "":
+        parts.pop()
     if len(parts) != 3:
         raise SceneError(f"bad vec3: {s!r}")
     return (_to_float(parts[0]), _to_float(parts[1]), _to_float(parts[2]))
@@ -190,7 +195,14 @@ class SceneDef:
     objects: list = dataclasses.field(default_factory=list)
     skybox: Optional[np.ndarray] = None  # (6, H, W, 3) f32, loadBMP row order
     skybox_wh: tuple[int, int] = (0, 0)
-    scene_dir: str = "."
+
+
+def _require_map_file(path: str) -> None:
+    """The reference's loadBMP prints and LOG_ERROR-exits when a texture
+    map can't be opened (util.cpp:78-85); silently rendering untextured
+    would be a quiet divergence."""
+    if not os.path.exists(path):
+        raise SceneError(f"Could not open .bmp file: {path}")
 
 
 def _load_map(path: str):
@@ -345,7 +357,10 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 if value == "plane":
                     obj = ObjectDef("plane")
                 elif value == "sphere":
-                    obj = ObjectDef("sphere")
+                    # Sphere's ctor defaults center to 0 (objects.h:170),
+                    # unlike the Object base default of 1 that plane and
+                    # mesh inherit (objects.h:27, :184).
+                    obj = ObjectDef("sphere", pos=(0.0, 0.0, 0.0))
                 elif value == "mesh":
                     obj = ObjectDef("mesh")
             elif obj is None:
@@ -385,10 +400,12 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                         value, obj.size, obj.rot, obj.pos, bias=cur.bias
                     )
                 elif key == "diffuse_map":
-                    if cur.use_textures and os.path.exists(value):
+                    if cur.use_textures:
+                        _require_map_file(value)
                         obj.diffuse_map, obj.diffuse_map_wh = _load_map(value)
                 elif key == "normal_map":
-                    if cur.use_textures and os.path.exists(value):
+                    if cur.use_textures:
+                        _require_map_file(value)
                         nm, wh = _load_map(value)
                         # [0,1] -> [-1,1], y negated, normalized
                         # (objects.cpp:433).
@@ -397,11 +414,18 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                         nm[:, 2] = (nm[:, 2] + 1.0) / 2.0  # z stays raw /256
                         # ^ reference keeps z as the raw [0,1] value:
                         #   Vec3f{x*2-1, -(y*2-1), z}
-                        ln = np.sqrt(np.sum(nm * nm, axis=1, keepdims=True))
-                        nm = np.where(ln > 0, nm / np.where(ln > 0, ln, 1), nm)
+                        # Vec3f::normalize multiplies by 1/sqrt(len2)
+                        # (geometry.h:104-112) — dividing by the length
+                        # is 1 ulp off for many f32 inputs.
+                        from rendering_tpu.models.objloader import (
+                            _normalize_rows,
+                        )
+
+                        nm = _normalize_rows(nm)
                         obj.normal_map, obj.normal_map_wh = nm.astype(np.float32), wh
                 elif key == "specular_map":
-                    if cur.use_textures and os.path.exists(value):
+                    if cur.use_textures:
+                        _require_map_file(value)
                         sm, wh = _load_map(value)
                         # (H*W, 1) column, not (H*W,): XLA lowers 1-D
                         # gathers ~5x slower than 2-D tiled ones on TPU
@@ -425,5 +449,4 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
         sd.skybox = np.stack(faces).astype(np.float32)
         sd.skybox_wh = wh
 
-    sd.scene_dir = os.path.dirname(os.path.abspath(path))
     return sd

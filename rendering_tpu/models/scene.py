@@ -199,12 +199,6 @@ class SceneData:
     static: SceneStatic = dataclasses.field(metadata=dict(static=True), default=None)
 
 
-def _normalize_host(v):
-    v = np.asarray(v, dtype=np.float32)
-    l2 = float(np.sum(v * v))
-    return v / np.sqrt(l2) if l2 > 0 else v
-
-
 def _packable_wh(o) -> tuple[int, int]:
     """Shared (W, H) if >= 2 of the object's maps exist with identical
     dims (they then share texel indices and one packed gather serves

@@ -125,7 +125,12 @@ def traverse_bvh(
         nxt = jnp.where(descend, cur + 1, mesh.skip[node].astype(jnp.int32))
         cur = jnp.where(active, nxt, cur)
 
-        box_ct = box_ct + jnp.sum(active.astype(jnp.int32)) * (1 if use_ac else 0)
+        # One reference intersectBox call per REAL node visited
+        # (objects.cpp:541): leaf-chunk nodes share their parent's box
+        # and must not inflate the accelStructTests analogue.
+        box_ct = box_ct + jnp.sum(
+            (active & (mesh.real_flag[node] > 0)).astype(jnp.int32)
+        ) * (1 if use_ac else 0)
         tri_ct = tri_ct + jnp.sum(lane_ok.astype(jnp.int32))
         return cur, t_best, tri_best, u_best, v_best, box_ct, tri_ct
 

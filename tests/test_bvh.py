@@ -110,3 +110,36 @@ def test_leaf_rule_ac_penalty():
     bvh = build_bvh(tri_v, bounds, ac_penalty=5, leaf_chunk=8)
     assert bvh.n_real_nodes == 1
     assert bvh.n_nodes == 1
+
+
+def test_box_tests_independent_of_leaf_chunking():
+    """accelStructTests parity: one reference intersectBox call per
+    real node visited (objects.cpp:534-541). Flattening big leaves
+    into several chunk nodes shares the parent's box — the counter
+    must not scale with leaf_chunk."""
+    tri_v = _random_tris(120, seed=3)
+    bounds = np.stack([tri_v.min((0, 1)), tri_v.max((0, 1))])
+    rng = np.random.RandomState(5)
+    ro = jnp.asarray(rng.uniform(-3, 3, (64, 3)), jnp.float32)
+    rd = rng.normal(size=(64, 3))
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=1, keepdims=True),
+                     jnp.float32)
+
+    counts = []
+    for chunk in (4, 32):
+        # High penalty -> big leaves -> many chunk nodes at chunk=4.
+        mesh, bvh = _mesh_from(tri_v, bounds, ac_penalty=8,
+                               leaf_chunk=chunk)
+        # prune=False: visit order identical regardless of chunking.
+        r = traverse_bvh(mesh, ro, rd, prune=False)
+        counts.append(int(r.box_tests))
+        # chunking must not change the hits either
+        if len(counts) == 2:
+            r0 = traverse_bvh(
+                _mesh_from(tri_v, bounds, ac_penalty=8, leaf_chunk=4)[0],
+                ro, rd, prune=False,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(r0.tri), np.asarray(r.tri)
+            )
+    assert counts[0] == counts[1]

@@ -91,3 +91,82 @@ def test_native_speedup_smoke():
     )
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py * 2, (t_nat, t_py)
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "edge.obj"
+    p.write_text(text)
+    return str(p)
+
+
+def test_native_rejects_malformed_face_token(tmp_path):
+    """'f 1 2 x': the Python loader raises ValueError (int('x'));
+    the native loader must return None (strtoll would not advance —
+    the old code looped forever growing the index vector)."""
+    path = _write(
+        tmp_path, "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 x\n"
+    )
+    assert load_obj_native(
+        path, np.ones(3, np.float32), np.eye(3, dtype=np.float32),
+        np.zeros(3, np.float32), 1e-4,
+    ) is None
+    with pytest.raises(ValueError):
+        load_obj_python(path, (1, 1, 1), (0, 0, 0), (0, 0, 0))
+    # Same for a non-numeric field in the v/t/n format.
+    path2 = _write(
+        tmp_path, "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/x/1 2/1/1 3/1/1\n"
+    )
+    assert load_obj_native(
+        path2, np.ones(3, np.float32), np.eye(3, dtype=np.float32),
+        np.zeros(3, np.float32), 1e-4,
+    ) is None
+
+
+def test_native_negative_indices_match_python(tmp_path):
+    """OBJ relative (negative) indices: the Python loader's numpy
+    gather wraps them; the native loader must produce the identical
+    mesh instead of an out-of-bounds read."""
+    # Note the Python loader subtracts 1 BEFORE the numpy gather, so
+    # its accepted "negative" range is tokens in [-(len-1), 0]:
+    # token 0 -> index -1 (last vertex), token -3 -> index -4 (first).
+    path = _write(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\nf 0 -1 -2\nf 2 3 4\n",
+    )
+    py = load_obj_python(path, (2, 2, 2), (0, 0, 0), (0, 0, 0))
+    nat = load_obj_native(
+        path, np.asarray((2, 2, 2), np.float32),
+        euler_matrix((0, 0, 0)), np.zeros(3, np.float32), 1e-4,
+    )
+    assert nat is not None
+    v, n, uv, tangent, bitangent, bounds = nat
+    np.testing.assert_array_equal(py.v, v)
+    np.testing.assert_array_equal(py.n, n)
+    # An index beyond [-len, len) fails on both sides.
+    bad = _write(
+        tmp_path, "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 9\n"
+    )
+    assert load_obj_native(
+        bad, np.ones(3, np.float32), np.eye(3, dtype=np.float32),
+        np.zeros(3, np.float32), 1e-4,
+    ) is None
+    with pytest.raises(IndexError):
+        load_obj_python(bad, (1, 1, 1), (0, 0, 0), (0, 0, 0))
+
+
+def test_native_leading_whitespace_lines_match_python(tmp_path):
+    """'  v 1 2 3' (indented statements): split() parses them in
+    Python; the native header scan must not drop them (the old
+    line+strlen(head) offset landed inside the leading spaces)."""
+    path = _write(
+        tmp_path,
+        "  v 0 0 0\n\tv 1 0 0\n v 0 1 0\n  f 1 2 3\n",
+    )
+    py = load_obj_python(path, (2, 2, 2), (0, 0, 0), (0, 0, 0))
+    nat = load_obj_native(
+        path, np.asarray((2, 2, 2), np.float32),
+        euler_matrix((0, 0, 0)), np.zeros(3, np.float32), 1e-4,
+    )
+    assert nat is not None
+    assert py.n_tris == 1
+    np.testing.assert_array_equal(py.v, nat[0])

@@ -205,3 +205,62 @@ def test_light_position_before_type_errors(tmp_path):
     )
     with pytest.raises(SceneError, match="position"):
         parse_scene(str(p))
+
+
+def test_sphere_default_center_is_origin(tmp_path):
+    """Sphere's ctor defaults center to 0 (objects.h:170), unlike the
+    Object base default of 1 that plane and mesh inherit (objects.h:27,
+    :184) — a sphere block without pos= must sit at the origin."""
+    sd = parse_scene(_write(tmp_path, """
+[object]
+type=sphere
+radius=2
+
+[object]
+type=plane
+normal=0,1,0
+
+[end]
+"""))
+    assert sd.objects[0].pos == (0.0, 0.0, 0.0)
+    assert sd.objects[1].pos == (1.0, 1.0, 1.0)
+
+
+def test_vec3_trailing_comma_matches_getline(tmp_path):
+    """splitString's getline loop yields exactly 3 cells for '1,2,3,'
+    (the final empty cell never materializes, util.h:78-86), so the
+    reference accepts a trailing comma; a doubled trailing comma gives
+    a 4th empty cell and LOG_ERRORs."""
+    sd = parse_scene(_write(tmp_path, """
+[options]
+position=1,2,3,
+
+[end]
+"""))
+    assert sd.cam_pos == (1.0, 2.0, 3.0)
+    with pytest.raises(SceneError):
+        parse_scene(_write(tmp_path, """
+[options]
+position=1,2,3,,
+
+[end]
+"""))
+
+
+def test_missing_texture_map_errors_like_reference(tmp_path):
+    """loadBMP prints 'Could not open .bmp file' and LOG_ERROR-exits on
+    a missing map (util.cpp:78-85); silently rendering untextured would
+    quietly diverge. useTextures=0 skips the load entirely
+    (objects.cpp:398) and must not error."""
+    scene_text = """
+[object]
+type=mesh
+size=1,1,1
+diffuse_map=does_not_exist.bmp
+
+[end]
+"""
+    with pytest.raises(SceneError, match="Could not open .bmp file"):
+        parse_scene(_write(tmp_path, scene_text))
+    sd = parse_scene(_write(tmp_path, "[options]\nuseTextures=0\n" + scene_text))
+    assert sd.objects[0].diffuse_map is None
