@@ -33,14 +33,20 @@ import jax
 import jax.numpy as jnp
 
 
-def run_size(width, height, n_tris, reps, forward_only=False):
-    from rendering_tpu.diff.inverse import apply_params, extract_params
+def build_scene_for(width, height, n_tris):
     from rendering_tpu.flagship import build_flagship_scene
-    from rendering_tpu.render.pipeline import render_scene
 
-    scene = build_flagship_scene(
+    return build_flagship_scene(
         width=width, height=height, n_tris=n_tris, enable_ssaa=False
     )
+
+
+def run_size(scene, reps, forward_only=False):
+    from rendering_tpu.diff.inverse import apply_params, extract_params
+    from rendering_tpu.render.pipeline import render_scene
+
+    width = scene.static.settings.width
+    height = scene.static.settings.height
     paths = (("lights", 0, "intensity"), ("obj_color",), ("meshes", 0, "v"))
     params = extract_params(scene, paths)
 
@@ -92,6 +98,12 @@ def _probe_backend(timeout_s: float = 300.0) -> None:
             file=sys.stderr,
         )
         raise SystemExit(1)
+    except subprocess.CalledProcessError as e:
+        # Fast failure (broken install, plugin import error): surface
+        # the child's actual diagnostic instead of a bare traceback.
+        print("bench: jax backend probe failed:", file=sys.stderr)
+        sys.stderr.write(e.stderr.decode(errors="replace"))
+        raise SystemExit(1)
 
 
 def main() -> int:
@@ -103,7 +115,8 @@ def main() -> int:
     baseline = 0.7e6
 
     if forced:
-        value = run_size(width, height, int(forced), reps)
+        scene = build_scene_for(width, height, int(forced))
+        value = run_size(scene, reps)
         print(json.dumps({
             "metric": f"shotgun{forced}_fwd_bwd_primary_rays_per_sec_per_chip",
             "value": round(value, 1),
@@ -112,9 +125,16 @@ def main() -> int:
         }))
         return 0
 
-    big = run_size(width, height, 250000, reps)
-    big_fwd = run_size(width, height, 250000, reps, forward_only=True)
-    small = run_size(width, height, None, reps)  # bundled 1,539-tri size
+    big_scene = build_scene_for(width, height, 250000)  # built once:
+    big = run_size(big_scene, reps)                     # fwd+bwd and
+    big_fwd = run_size(big_scene, reps, forward_only=True)  # fwd share it
+    # Bundled 1,539-tri shotgun.obj size; the metric is labeled by the
+    # ACTUAL triangle count (without the reference assets mounted the
+    # builder falls back to a 250k procedural mesh — a mislabeled
+    # "small" number must not silently enter BENCH_r*.json).
+    small_scene = build_scene_for(width, height, None)
+    small_tris = int(small_scene.static.meshes[0].n_tris)
+    small = run_size(small_scene, reps)
     print(json.dumps({
         "metric": "shotgun250k_fwd_bwd_primary_rays_per_sec_per_chip",
         "value": round(big, 1),
@@ -122,6 +142,7 @@ def main() -> int:
         "vs_baseline": round(big / baseline, 3),
         "fwd_only_rays_per_sec": round(big_fwd, 1),
         "fwd_only_vs_baseline": round(big_fwd / baseline, 3),
+        "small_mesh_tris": small_tris,
         "small_mesh_rays_per_sec": round(small, 1),
         "small_mesh_vs_baseline": round(small / baseline, 3),
     }))

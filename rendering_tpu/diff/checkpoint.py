@@ -41,12 +41,23 @@ def save_checkpoint(path: str, step: int, params, opt_state,
 
 
 def load_checkpoint(path: str, params_like, opt_state_like):
-    """Restore into the same pytree structures as the templates."""
+    """Restore into the same pytree structures as the templates.
+
+    The saved treedef string must match the template's: a same-leaf-
+    count structural mismatch (renamed/reordered param dict keys across
+    code versions) would otherwise silently assign leaves to the wrong
+    parameters and resume from corrupted state."""
     data = np.load(path, allow_pickle=False)
     step = int(data["step"])
 
     def unflatten(tree_like, prefix):
         leaves, treedef = jax.tree_util.tree_flatten(tree_like)
+        saved_def = bytes(data[f"{prefix}__treedef"]).decode()
+        if saved_def != str(treedef):
+            raise ValueError(
+                f"checkpoint {prefix} structure mismatch:\n"
+                f"  saved:    {saved_def}\n  template: {treedef}"
+            )
         new_leaves = [data[f"{prefix}__{i}"] for i in range(len(leaves))]
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

@@ -66,6 +66,13 @@ def procedural_mesh(n_tris: int, pos, size, seed: int = 0) -> MeshArrays:
     # smooth normals = sphere direction at each vertex (unit-ish)
     n = (v - pos) / (size / 2.0)
 
+    # Root bounds must CONTAIN the bumps (|bump| <= 1.08): pos +- size/2
+    # clipped the poking triangles and flipped clipped_by_root=True,
+    # silently benchmarking a hole-ridden mesh on the root-filter
+    # kernel configuration the real (unclipped) shotgun asset never
+    # uses. 1.0801 covers the f32 rounding of the 1.08 extreme.
+    bound = np.float32(1.0801) * size / 2.0
+
     edge1 = v[:, 1] - v[:, 0]
     edge2 = v[:, 2] - v[:, 0]
     duv1 = tuv[:, 1] - tuv[:, 0]
@@ -78,7 +85,7 @@ def procedural_mesh(n_tris: int, pos, size, seed: int = 0) -> MeshArrays:
         bitangent = np.nan_to_num(
             f[:, None] * (-duv2[:, 0:1] * edge1 + duv1[:, 0:1] * edge2)
         ).astype(np.float32)
-    bounds = np.stack([pos - size / 2, pos + size / 2]).astype(np.float32)
+    bounds = np.stack([pos - bound, pos + bound]).astype(np.float32)
     return MeshArrays(
         v=v, n=n.astype(np.float32), uv=tuv, tangent=tangent,
         bitangent=bitangent, root_bounds=bounds,
@@ -86,7 +93,13 @@ def procedural_mesh(n_tris: int, pos, size, seed: int = 0) -> MeshArrays:
 
 
 def _maps(prefix: str):
-    """Load committed synthesized maps (tests/assets/maps)."""
+    """Load committed synthesized maps (tests/assets/maps) through the
+    parser's shared texel decoders (one implementation — the inline
+    copy here once drifted to a 1-ulp-off normalize)."""
+    from rendering_tpu.models.parser import (
+        decode_normal_map,
+        decode_specular_map,
+    )
     from rendering_tpu.utils.bmp import load_bmp_float
 
     base = os.path.join(REPO, "tests", "assets", "maps")
@@ -99,16 +112,9 @@ def _maps(prefix: str):
         h, w = data.shape[:2]
         flat = data.reshape(h * w, 3)
         if kind == "normal":
-            nm = flat * 2.0 - 1.0
-            nm[:, 1] = -nm[:, 1]
-            nm[:, 2] = (nm[:, 2] + 1.0) / 2.0
-            ln = np.sqrt(np.sum(nm * nm, axis=1, keepdims=True))
-            flat = np.where(ln > 0, nm / np.where(ln > 0, ln, 1), nm).astype(
-                np.float32
-            )
+            flat = decode_normal_map(flat)
         elif kind == "specular":
-            # (H*W, 1) column — 1-D TPU gathers are ~5x slower.
-            flat = np.mean(flat, axis=1, keepdims=True).astype(np.float32)
+            flat = decode_specular_map(flat)
         out[kind] = (flat, (w, h))
     return out
 

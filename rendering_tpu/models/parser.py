@@ -212,6 +212,27 @@ def _load_map(path: str):
     return data.reshape(h * w, 3), (w, h)
 
 
+def decode_normal_map(flat: np.ndarray) -> np.ndarray:
+    """Reference normal-map texel transform (objects.cpp:417-437):
+    Vec3f{x*2-1, -(y*2-1), z}.normalize() — z stays the raw [0,1]
+    value, and normalize multiplies by 1/sqrt(len2) (geometry.h:104-112;
+    dividing by the length is 1 ulp off). Shared by the scene parser
+    and the flagship benchmark loader so the two can't drift."""
+    from rendering_tpu.models.objloader import _normalize_rows
+
+    nm = flat * 2.0 - 1.0
+    nm[:, 1] = -nm[:, 1]
+    nm[:, 2] = (nm[:, 2] + 1.0) / 2.0
+    return _normalize_rows(nm).astype(np.float32)
+
+
+def decode_specular_map(flat: np.ndarray) -> np.ndarray:
+    """Reference specular decode: gray average (objects.cpp:454), kept
+    as an (H*W, 1) column — 1-D TPU gathers lower ~5x slower than 2-D
+    tiled ones."""
+    return np.mean(flat, axis=1, keepdims=True).astype(np.float32)
+
+
 def parse_scene(path: str, base_settings: RenderSettings | None = None) -> SceneDef:
     settings_kw: dict = {}
     sd = SceneDef(settings=base_settings or RenderSettings())
@@ -407,32 +428,13 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                     if cur.use_textures:
                         _require_map_file(value)
                         nm, wh = _load_map(value)
-                        # [0,1] -> [-1,1], y negated, normalized
-                        # (objects.cpp:433).
-                        nm = nm * 2.0 - 1.0
-                        nm[:, 1] = -nm[:, 1]
-                        nm[:, 2] = (nm[:, 2] + 1.0) / 2.0  # z stays raw /256
-                        # ^ reference keeps z as the raw [0,1] value:
-                        #   Vec3f{x*2-1, -(y*2-1), z}
-                        # Vec3f::normalize multiplies by 1/sqrt(len2)
-                        # (geometry.h:104-112) — dividing by the length
-                        # is 1 ulp off for many f32 inputs.
-                        from rendering_tpu.models.objloader import (
-                            _normalize_rows,
-                        )
-
-                        nm = _normalize_rows(nm)
-                        obj.normal_map, obj.normal_map_wh = nm.astype(np.float32), wh
+                        obj.normal_map = decode_normal_map(nm)
+                        obj.normal_map_wh = wh
                 elif key == "specular_map":
                     if cur.use_textures:
                         _require_map_file(value)
                         sm, wh = _load_map(value)
-                        # (H*W, 1) column, not (H*W,): XLA lowers 1-D
-                        # gathers ~5x slower than 2-D tiled ones on TPU
-                        # (profiled 0.94ms vs 0.2ms per 128k rays).
-                        obj.specular_map = np.mean(
-                            sm, axis=1, keepdims=True
-                        ).astype(np.float32)
+                        obj.specular_map = decode_specular_map(sm)
                         obj.specular_map_wh = wh
 
     sd.settings = (base_settings or RenderSettings()).replace(**settings_kw)

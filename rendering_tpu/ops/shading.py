@@ -34,11 +34,15 @@ def refract_r(d3, n3, ior):
     mod_normal = jnp.where(outside[None], n3, -n3)
     rri = n1 / n2
     k = 1.0 - rri * rri * (1.0 - cosi_abs * cosi_abs)
-    tir = k < 0
-    k_safe = jnp.where(tir, 1.0, k)
+    tir = k < 0  # the reference's TIR test (k == 0 refracts, scene.cpp:693)
+    # double-where: at the exact critical angle k == 0 the lane is LIVE
+    # and sqrt'(0) = inf would poison reverse mode; keep the primal
+    # sqrt(0) = 0 but route the gradient through a guarded operand.
+    crit = k <= 0
+    sqrt_k = jnp.where(crit, 0.0, jnp.sqrt(jnp.where(crit, 1.0, k)))
     out = (
         rri[None] * d3
-        + (rri * cosi_abs - jnp.sqrt(k_safe))[None] * mod_normal
+        + (rri * cosi_abs - sqrt_k)[None] * mod_normal
     )
     return jnp.where(tir[None], 0.0, out)
 
@@ -74,11 +78,15 @@ def refract(direction, normal, ior):
     mod_normal = jnp.where(outside[..., None], normal, -normal)
     rri = n1 / n2
     k = 1.0 - rri * rri * (1.0 - cosi_abs * cosi_abs)
-    tir = k < 0
-    k_safe = jnp.where(tir, 1.0, k)  # guard sqrt'(0) on masked lanes
+    tir = k < 0  # the reference's TIR test (k == 0 refracts, scene.cpp:693)
+    # double-where: k == 0 (exact critical angle) is a LIVE lane whose
+    # sqrt'(0) = inf would poison reverse mode; keep the primal but
+    # suppress the gradient through the guarded operand.
+    crit = k <= 0
+    sqrt_k = jnp.where(crit, 0.0, jnp.sqrt(jnp.where(crit, 1.0, k)))
     out = (
         rri[..., None] * direction
-        + (rri * cosi_abs - jnp.sqrt(k_safe))[..., None] * mod_normal
+        + (rri * cosi_abs - sqrt_k)[..., None] * mod_normal
     )
     return jnp.where(tir[..., None], 0.0, out)
 

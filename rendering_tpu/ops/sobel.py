@@ -23,6 +23,11 @@ _S = ((-1.0, 0.0, 1.0), (-2.0, 0.0, 2.0), (-1.0, 0.0, 1.0))
 def sobel_mask(frame3: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
     """frame3: (3, H, W) -> bool (H, W); borders False."""
     h, w = frame3.shape[1:]
+    if h < 3 or w < 3:
+        # No interior pixels: the reference's interior-only loop does
+        # no work (scene.cpp:556); a (h-2, w-2) stencil would go
+        # negative-dimension here.
+        return jnp.zeros((h, w), bool)
     gx = jnp.zeros((3, h - 2, w - 2), frame3.dtype)
     gy = jnp.zeros((3, h - 2, w - 2), frame3.dtype)
     # x += fb[i-1+a, j-1+b] * S[a][b]; y += fb[...] * S[b][a]

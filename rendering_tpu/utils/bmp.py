@@ -92,6 +92,12 @@ def encode_bmp(image: np.ndarray) -> bytes:
         rows = np.zeros((height, width * 3 + pad), dtype=np.uint8)
         rows[:, : width * 3] = bgr.reshape(height, width * 3)
         body = rows.tobytes()
+        # The reference writes arraySize = h*(w+pad)*3 bytes
+        # (util.cpp:29,61) from a buffer laid out in h*(w*3+pad) rows —
+        # the 2*pad*h tail it emits is uninitialized heap (UB). Match
+        # the declared length deterministically with zeros so the file
+        # agrees with its own header like the reference's does.
+        body += bytes(array_size - len(body))
     else:
         body = bgr.tobytes()
     return bytes(header) + body

@@ -56,3 +56,23 @@ def test_golden_files_never_contain_255(tmp_path):
     for f in glob.glob(os.path.join(repo, "tests", "goldens", "*.bmp")):
         body = open(f, "rb").read()[54:]
         assert 255 not in body, f
+
+
+def test_padded_width_file_length_matches_header():
+    """width % 4 != 0: the reference declares arraySize =
+    h*(w+pad)*3 (util.cpp:29) but assembles rows of w*3+pad bytes —
+    the tail it writes is uninitialized heap (UB). Our writer must
+    emit exactly the declared length, deterministically (zeros)."""
+    import struct
+
+    from rendering_tpu.utils.bmp import encode_bmp
+
+    img = np.linspace(0, 1, 7 * 5 * 3, dtype=np.float32).reshape(5, 7, 3)
+    raw = encode_bmp(img)
+    total = struct.unpack_from("<I", raw, 0x2)[0]
+    array_size = struct.unpack_from("<I", raw, 0x22)[0]
+    pad = 4 - (7 * 3) % 4
+    assert array_size == 5 * (7 + pad) * 3  # reference header math
+    assert len(raw) == total == 54 + array_size
+    # deterministic tail
+    assert raw == encode_bmp(img)

@@ -148,3 +148,22 @@ def test_recover_texture_with_bilinear(monkeypatch):
     err_init = np.abs(0.5 - true_tex[moved]).mean()
     err_rec = np.abs(rec[moved] - true_tex[moved]).mean()
     assert err_rec < 0.5 * err_init, (err_rec, err_init)
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    """A checkpoint restored into a template with the same leaf count
+    but different structure (renamed param keys across code versions)
+    must raise instead of silently assigning leaves to the wrong
+    parameters."""
+    import numpy as np
+    import pytest
+
+    from rendering_tpu.diff.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, 3, {"x": np.ones(2)}, {})
+    # Same structure restores fine.
+    step, params, _, _, _ = load_checkpoint(path, {"x": np.zeros(2)}, {})
+    assert step == 3 and float(params["x"][0]) == 1.0
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(path, {"y": np.zeros(2)}, {})

@@ -116,3 +116,35 @@ def test_compact_children_drops_smallest_weights():
         sorted(np.asarray(k_w2))[-4:], [0.6, 0.7, 0.8, 0.9], atol=1e-6
     )
     assert float(stats2["paths_dropped"]) == 0.0
+
+
+def test_refract_critical_angle_gradient_finite():
+    """k == 0 (exact critical angle) is a LIVE lane in the reference
+    (its TIR test is k < 0, scene.cpp:693); sqrt'(0) = inf must not
+    reach reverse mode. Finds an f32 ior that makes k land on exactly
+    0.0 for a fixed ray, then checks grad(refract) is finite there."""
+    import jax
+    import jax.numpy as jnp
+
+    from rendering_tpu.ops.shading import refract
+
+    d = np.array([0.8, 0.0, -0.6], np.float32)
+    n = np.array([0.0, 0.0, 1.0], np.float32)
+    cosi = np.float32(np.clip(np.dot(d, n), -1, 1))  # -0.6, outside
+    iors = np.float32(0.795) + np.arange(200000, dtype=np.float32) * np.float32(5e-8)
+    rri = np.float32(1.0) / iors
+    k = np.float32(1.0) - rri * rri * (np.float32(1.0) - cosi * cosi)
+    hits = iors[k == 0.0]
+    if hits.size == 0:
+        import pytest
+        pytest.skip("no f32 ior lands k exactly on 0 for this ray")
+    ior0 = jnp.float32(hits[0])
+
+    def f(ior):
+        return jnp.sum(refract(jnp.asarray(d), jnp.asarray(n), ior))
+
+    g = jax.grad(f)(ior0)
+    assert np.isfinite(float(g))
+    # Primal parity: k == 0 refracts (no TIR zero-vector).
+    out = refract(jnp.asarray(d), jnp.asarray(n), ior0)
+    assert float(jnp.sum(jnp.abs(out))) > 0.0
