@@ -31,7 +31,14 @@ def workspace(tmp_path_factory):
     for name in ("objects", "skybox"):
         src = os.path.join(REFERENCE, "input", name)
         if os.path.isdir(src):
-            (inp / name).symlink_to(src)
+            # Real directory with per-FILE symlinks (not a dir symlink):
+            # a test that writes a generated asset under input/<name>/
+            # must land in the tmp workspace, never through a symlink
+            # into the read-only reference tree.
+            sub = inp / name
+            sub.mkdir()
+            for fn in os.listdir(src):
+                (sub / fn).symlink_to(os.path.join(src, fn))
     maps_src = os.path.join(REPO, "tests", "assets", "maps")
     shutil.copytree(maps_src, inp / "maps")
     for scene in os.listdir(os.path.join(REPO, "tests", "scenes")):

@@ -61,7 +61,7 @@ pos=0,0,-4
 size=3,3,1
 rot=0,0,0
 color=0.8,0.7,0.6
-name=input/objects/fdmesh.obj
+name=input/fdmesh.obj
 
 [end]
 """
@@ -107,7 +107,11 @@ def _write_obj(path, z):
 def _ref_mean(ws, binary, z):
     from rendering_tpu.utils.bmp import bmp_to_image, load_bmp
 
-    _write_obj(os.path.join(ws, "input", "objects", "fdmesh.obj"), z)
+    # ws/input is a REAL directory owned by the fixture; ws/input/objects
+    # is a symlink into the read-only reference tree, so the generated
+    # OBJ must NOT go there (writing through the symlink would pollute
+    # /root/reference).
+    _write_obj(os.path.join(ws, "input", "fdmesh.obj"), z)
     with open(os.path.join(ws, "fdmesh.scene"), "w") as f:
         f.write(SCENE_TMPL)
     os.makedirs(os.path.join(ws, "golden"), exist_ok=True)
@@ -130,11 +134,10 @@ def test_vertex_grad_matches_reference_fd(workspace):
 
     binary = build_reference(ssaa=False)
     ws = str(workspace)
-    os.makedirs(os.path.join(ws, "input", "objects"), exist_ok=True)
     z0, faces, perturbed = _grid_geometry()
 
     # --- our gradient w.r.t. the shared OBJ z of the perturbed set ---
-    _write_obj(os.path.join(ws, "input", "objects", "fdmesh.obj"), z0)
+    _write_obj(os.path.join(ws, "input", "fdmesh.obj"), z0)
     with open(os.path.join(ws, "fdmesh.scene"), "w") as f:
         f.write(SCENE_TMPL)
     old = os.getcwd()
@@ -171,7 +174,7 @@ def test_vertex_grad_matches_reference_fd(workspace):
     from rendering_tpu.models.objloader import load_obj
 
     m_load = load_obj(
-        os.path.join(ws, "input", "objects", "fdmesh.obj"),
+        os.path.join(ws, "input", "fdmesh.obj"),
         size=(3.0, 3.0, 1.0), rot=(0.0, 0.0, 0.0), pos=(0.0, 0.0, -4.0),
     )
     mp = np.asarray(morton_order(m_load.v))
