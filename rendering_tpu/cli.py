@@ -67,7 +67,9 @@ def main(argv=None) -> int:
                 )
 
                 return render_with_progress(scene, mesh=mesh)
-            return render_sharded(scene, mesh)
+            # The CLI only writes the frame out: quantize to the BMP
+            # writer's u8 codes on device (4x smaller host pull).
+            return render_sharded(scene, mesh, out_u8=True)
         if settings.output_progress and not settings.show_ac:
             # outputProgress (src/scene.cpp:486-492): strip-rendered
             # frame with once-per-second percentage prints;
@@ -75,7 +77,7 @@ def main(argv=None) -> int:
             from rendering_tpu.render.pipeline import render_with_progress
 
             return render_with_progress(scene)
-        return render(scene)
+        return render(scene, out_u8=True)
 
     if args.trace_dir:
         import jax

@@ -183,10 +183,24 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
                 .add(wt[None, :] * colors3)
             )
             stats = _zero_stats()
-        else:
+        elif st.any_bouncing:
             accum3, stats = integrate(
                 scene, ro, rd, pixk, wt, n_pixels=w * h, ray_block=ray_block,
                 queue_headroom=queue_headroom,
+            )
+        else:
+            # No bouncing: slot accumulation (pipeline._ssaa_pass) —
+            # collapse each masked pixel's 4 subsample slots with one
+            # reshape-sum, then scatter capacity/ndev lanes instead of
+            # 4x that. Fill lanes (idx clamped, weight 0) add zeros.
+            nloc = idx_l.shape[0]
+            slots3, stats = integrate(
+                scene, ro, rd, pixk, wt, n_pixels=w * h,
+                ray_block=ray_block, out_slots=True,
+            )
+            summed3 = jnp.sum(slots3.reshape(3, 4, nloc), axis=1)
+            accum3 = (
+                jnp.zeros((3, w * h), jnp.float32).at[:, idx_l].add(summed3)
             )
         # Refined pixels are disjoint across devices -> psum assembles.
         accum3 = jax.lax.psum(accum3, "rays")
@@ -296,7 +310,7 @@ def _show_ac_sharded(scene, mesh: Mesh):
 
 def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
                          ssaa_capacity: int | None = None,
-                         queue_headroom: int = 1):
+                         queue_headroom: int = 1, out_u8: bool = False):
     """Jittable sharded render over `mesh` (1-D, axis 'rays').
     Returns (frame3 (3, H, W), aux) identical (up to f32 scheduling) to
     rendering_tpu.render.pipeline.render_scene. `ssaa_capacity`
@@ -305,15 +319,17 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
     capacity (used by render_sharded's overflow auto-escalations —
     a device owning more than its 1/ndev share of glass pixels can
     need headroom the single-device render doesn't)."""
-    from rendering_tpu.render.pipeline import derive_mesh_tables
+    from rendering_tpu.render.pipeline import derive_mesh_tables, quantize_u8
 
     scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
     if settings.show_ac:
         frame3 = _show_ac_sharded(scene, mesh)
-        return frame3, {"stats": _zero_stats(),
-                        "ssaa_masked": jnp.zeros((), jnp.int32)}
+        return (quantize_u8(frame3) if out_u8 else frame3), {
+            "stats": _zero_stats(),
+            "ssaa_masked": jnp.zeros((), jnp.int32),
+        }
     frame3, stats = _primary_sharded(
         scene, mesh, ray_block=ray_block, queue_headroom=queue_headroom
     )
@@ -330,12 +346,18 @@ def render_scene_sharded(scene, mesh: Mesh, ray_block: int = DEFAULT_RAY_BLOCK,
         )
         for k in stats:
             stats[k] = stats[k] + s2[k]
+    if out_u8:
+        return quantize_u8(frame3), {"stats": stats,
+                                     "ssaa_masked": n_masked}
     return frame3, {"stats": stats, "ssaa_masked": n_masked}
 
 
 def render_sharded(scene, mesh: Mesh | None = None,
-                   ray_block: int = DEFAULT_RAY_BLOCK):
+                   ray_block: int = DEFAULT_RAY_BLOCK,
+                   out_u8: bool = False):
     """Host-facing sharded render: ((H, W, 3) numpy frame, aux).
+    With out_u8 the frame is the BMP writer's exact u8 codes quantized
+    on device (pipeline.quantize_u8); otherwise f32.
 
     Like pipeline.render, both static queue sizes auto-escalate so the
     output matches the single-chip render(): the SSAA refinement
@@ -354,7 +376,7 @@ def render_sharded(scene, mesh: Mesh | None = None,
     headroom = 1
     while True:
         frame3, aux = _cached_sharded_fn(
-            mesh, ray_block, ssaa_cap, headroom
+            mesh, ray_block, ssaa_cap, headroom, out_u8
         )(scene)
         redo = False
         n_masked = int(aux["ssaa_masked"])
@@ -371,16 +393,19 @@ def render_sharded(scene, mesh: Mesh | None = None,
         if not redo:
             break
     warn_dropped_paths(aux["stats"])
+    if out_u8:
+        return np.asarray(frame3), aux  # already (H, W, 3) u8
     return np.asarray(frame3).transpose(1, 2, 0), aux
 
 
 @functools.lru_cache(maxsize=16)
 def _cached_sharded_fn(mesh: Mesh, ray_block: int,
                        ssaa_capacity: int | None = None,
-                       queue_headroom: int = 1):
+                       queue_headroom: int = 1, out_u8: bool = False):
     return jax.jit(
         functools.partial(
             render_scene_sharded, mesh=mesh, ray_block=ray_block,
             ssaa_capacity=ssaa_capacity, queue_headroom=queue_headroom,
+            out_u8=out_u8,
         )
     )

@@ -39,6 +39,21 @@ from rendering_tpu.render.integrator import (
 from rendering_tpu.render.raygen import pixel_dirs, primary_rays, tile_dims
 
 
+def quantize_u8(frame3):
+    """Device-side (3, H, W) f32 -> (H, W, 3) u8, bit-identical to
+    utils.bmp.quantize_reference (the reference writer's
+    `static_cast<char>(clamp(0,1,f) * 255)`, src/util.cpp:50, as
+    compiled: >= 255.0 saturates to 127, in-range truncates).
+    jnp.floor before the integer convert pins truncation regardless of
+    the backend's float->int rounding mode (values are non-negative).
+    Quantizing on device shrinks the per-frame device->host transfer 4x
+    (f32 -> u8) — at 3840x1080 that is ~50 MB -> ~12.4 MB per frame."""
+    product = jnp.clip(frame3, 0.0, 1.0) * jnp.float32(255.0)
+    u8 = jnp.floor(product).astype(jnp.uint8)
+    u8 = jnp.where(product >= jnp.float32(255.0), jnp.uint8(127), u8)
+    return jnp.moveaxis(u8, 0, -1)
+
+
 def _untile(slots3, w: int, h: int):
     """Invert the primary-ray screen-tile permutation with reshapes +
     one transpose (tile_dims guarantees exact tiling): slot s maps to
@@ -123,10 +138,26 @@ def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK,
             .add(weight[None, :] * colors3)
         )
         stats = _zero_stats()
-    else:
+    elif st.any_bouncing:
         accum3, stats = integrate(
             scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block,
             queue_headroom=queue_headroom,
+        )
+    else:
+        # No bouncing: slot accumulation (see _primary_pass) — the 4
+        # subsample slots of a masked pixel sit at k*capacity + i, so
+        # one reshape-sum collapses them and the pixel scatter shrinks
+        # from 4*capacity lanes into w*h to capacity lanes (at 4M
+        # pixels the full scatter costs ~250 ms; this was the last
+        # per-frame pixel-sized scatter on the SSAA path). Fill lanes
+        # (idx clamped, weight 0) contribute exact zeros.
+        slots3, stats = integrate(
+            scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block,
+            out_slots=True,
+        )
+        summed3 = jnp.sum(slots3.reshape(3, 4, capacity), axis=1)
+        accum3 = (
+            jnp.zeros((3, w * h), jnp.float32).at[:, idx_c].add(summed3)
         )
 
     refined3 = accum3.reshape(3, h, w)
@@ -208,11 +239,12 @@ def derive_mesh_tables(scene):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_block", "ssaa_capacity", "queue_headroom"),
+    static_argnames=("ray_block", "ssaa_capacity", "queue_headroom",
+                     "out_u8"),
 )
 def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
                  ssaa_capacity: int | None = None,
-                 queue_headroom: int = 1):
+                 queue_headroom: int = 1, out_u8: bool = False):
     """Full jitted render: returns (frame3 (3, H, W) f32, aux dict).
 
     aux contains device-side stats counters and the SSAA mask size
@@ -220,15 +252,19 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
     overrides the fraction-derived refinement queue size;
     `queue_headroom` multiplies the transparent continuation-queue
     capacity (both used by the host wrapper's overflow
-    auto-escalations).
+    auto-escalations). `out_u8` (static) quantizes the finished frame
+    on device to the BMP writer's exact u8 codes and returns
+    (H, W, 3) u8 instead — for hosts that only write the image out.
     """
     scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
     if settings.show_ac:
         frame3 = _show_ac_pass(scene, ray_block=ray_block)
-        return frame3, {"stats": _zero_stats(),
-                        "ssaa_masked": jnp.zeros((), jnp.int32)}
+        return (quantize_u8(frame3) if out_u8 else frame3), {
+            "stats": _zero_stats(),
+            "ssaa_masked": jnp.zeros((), jnp.int32),
+        }
 
     frame3, stats = _primary_pass(
         scene, ray_block=ray_block, queue_headroom=queue_headroom
@@ -245,6 +281,9 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
         )
         for k in stats:
             stats[k] = stats[k] + s2[k]
+    if out_u8:
+        return quantize_u8(frame3), {"stats": stats,
+                                     "ssaa_masked": n_masked}
     return frame3, {"stats": stats, "ssaa_masked": n_masked}
 
 
@@ -255,8 +294,12 @@ def render_scene(scene, ray_block: int = DEFAULT_RAY_BLOCK,
 MAX_QUEUE_HEADROOM = 8
 
 
-def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
+def render(scene, ray_block: int = DEFAULT_RAY_BLOCK,
+           out_u8: bool = False):
     """Host-facing render: returns ((H, W, 3) numpy frame, aux).
+    With out_u8 the frame is the BMP writer's exact u8 codes,
+    quantized on device (4x smaller device->host transfer); otherwise
+    f32 in [0, 1+].
 
     Two auto-escalations keep the output exact regardless of the
     static queue sizes (each redo is a bounded recompile):
@@ -276,7 +319,7 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
     while True:
         frame3, aux = render_scene(
             scene, ray_block=ray_block, ssaa_capacity=ssaa_cap,
-            queue_headroom=headroom,
+            queue_headroom=headroom, out_u8=out_u8,
         )
         redo = False
         n_masked = int(aux["ssaa_masked"])
@@ -292,7 +335,10 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK):
             redo = True
         if not redo:
             break
-    frame = np.asarray(frame3).transpose(1, 2, 0)
+    if out_u8:
+        frame = np.asarray(frame3)  # already (H, W, 3) u8
+    else:
+        frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(aux["stats"])
     return frame, aux
 

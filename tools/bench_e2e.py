@@ -31,14 +31,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def time_render(scene, reps: int) -> float:
+def time_render(scene, reps: int, out_u8: bool = False) -> float:
     from rendering_tpu.render.pipeline import render
 
-    render(scene)  # warmup: compile primary + SSAA (+ escalated SSAA)
+    # warmup: compile primary + SSAA (+ escalated SSAA)
+    render(scene, out_u8=out_u8)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        render(scene)  # render() returns a host numpy frame: synchronous
+        # render() returns a host numpy frame: synchronous
+        render(scene, out_u8=out_u8)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -52,11 +54,12 @@ def main() -> int:
 
     from rendering_tpu.flagship import build_flagship_scene
 
-    ssaa_on = time_render(
-        build_flagship_scene(width=width, height=height, n_tris=n_tris,
-                             enable_ssaa=True),
-        reps,
-    )
+    scene_on = build_flagship_scene(width=width, height=height,
+                                    n_tris=n_tris, enable_ssaa=True)
+    ssaa_on = time_render(scene_on, reps)
+    # CLI-realistic path: frame quantized to BMP u8 codes on device,
+    # host pulls 1/4 the bytes (pipeline.quantize_u8).
+    u8_s = time_render(scene_on, reps, out_u8=True)
     ssaa_off = time_render(
         build_flagship_scene(width=width, height=height, n_tris=n_tris,
                              enable_ssaa=False),
@@ -67,6 +70,8 @@ def main() -> int:
         "value": round(ssaa_on, 4),
         "unit": "s",
         "vs_baseline": round(baseline_s / ssaa_on, 2),
+        "u8_pull_seconds": round(u8_s, 4),
+        "u8_pull_vs_baseline": round(baseline_s / u8_s, 2),
         "ssaa_off_seconds": round(ssaa_off, 4),
         "ssaa_off_vs_baseline": round(baseline_s / ssaa_off, 2),
     }))
