@@ -222,16 +222,17 @@ def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
                          queue_headroom: int = 1):
     """Sharded analogue of pipeline._render_strip: integrate the primary
     rays of pixel rows [y0, y0+rows) with the strip's rays round-robin
-    tile-interleaved across the mesh. Returns (full-size flat (3, W*H)
-    accumulator with the strip written in place, psum'd stats) — the
-    same contract as the single-device strip fn, so the progress /
-    resumable strip loops swap it in unchanged (jittable; y0/rows
-    static, mesh closure-bound)."""
+    tile-interleaved across the mesh. Returns (STRIP-SIZED flat
+    (3, rows*W) accumulator, psum'd stats) — the same contract as the
+    single-device strip fn, so the progress / resumable strip loops
+    swap it in unchanged, and the host pulls rows*W pixels per strip
+    instead of a full frame (jittable; y0/rows static, mesh
+    closure-bound)."""
     from rendering_tpu.render.pipeline import derive_mesh_tables
 
     scene = derive_mesh_tables(scene)
     st = scene.static
-    w, h = st.settings.width, st.settings.height
+    w = st.settings.width
     ndev = mesh.devices.size
     r = rows * w
     rp, perm = _round_robin_layout(r, ndev)
@@ -248,12 +249,10 @@ def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
     if st.settings.show_normals:
         stats["rays_casted"] = jnp.asarray(r, jnp.float32)
 
-    # Undo the round-robin permutation (slot k -> strip pixel perm[k]),
-    # drop the padding, and place the strip into the full frame.
+    # Undo the round-robin permutation (slot k -> strip pixel perm[k])
+    # and drop the padding; the host loop places the strip.
     flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
-    out = jnp.zeros((3, h * w), jnp.float32)
-    out = out.at[:, y0 * w : y0 * w + r].set(flat[:, :r])
-    return out, stats
+    return flat[:, :r], stats
 
 
 @functools.lru_cache(maxsize=16)

@@ -445,7 +445,7 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         y0 = s * strip_rows
         rows = min(strip_rows, h - y0)
         part, s_stats = strip_fn(scene, y0=y0, rows=rows)
-        accum3 = accum3 + np.asarray(part)
+        accum3[:, y0 * w : y0 * w + rows * w] = np.asarray(part)
         for k in stats_acc:
             stats_acc[k] += float(s_stats[k])
         done_px += rows * w
@@ -542,7 +542,9 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             and mask_ck is not None
             and len(np.asarray(mask_ck)) == n_strips
         ):
-            accum3 = np.asarray(frame_ck)
+            # Copy: the loop writes strips into accum3 in place, and a
+            # loaded checkpoint array may be read-only.
+            accum3 = np.asarray(frame_ck).copy()
             done = np.asarray(mask_ck).astype(bool)
 
     strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
@@ -553,7 +555,7 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         y0 = s * strip_rows
         rows = min(strip_rows, h - y0)
         part, s_stats = strip_fn(scene, y0=y0, rows=rows)
-        accum3 = accum3 + np.asarray(part)
+        accum3[:, y0 * w : y0 * w + rows * w] = np.asarray(part)
         dropped += float(s_stats["paths_dropped"])
         done[s] = True
         save_checkpoint(checkpoint_path, s + 1, {}, {}, frame=accum3,
@@ -591,10 +593,14 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
 def _render_strip(scene, *, y0: int, rows: int, ray_block: int,
                   queue_headroom: int = 1):
     """Integrate the primary rays of pixel rows [y0, y0+rows) into a
-    full-size flat accumulator (jittable; y0/rows static)."""
+    STRIP-SIZED (3, rows*w) flat accumulator (jittable; y0/rows
+    static). Strip-sized so the progress/resumable host loops pull
+    rows*w pixels per strip instead of a full frame each (at 3840x1080
+    with 128-row strips that is ~6 MB vs ~50 MB per pull, x9 strips)."""
     scene = derive_mesh_tables(scene)
-    st = scene.static.settings
-    w, h = st.width, st.height
+    st = scene.static
+    settings = st.settings
+    w = settings.width
     ys, xs = jnp.meshgrid(
         jnp.arange(y0, y0 + rows, dtype=jnp.float32),
         jnp.arange(w, dtype=jnp.float32),
@@ -602,19 +608,24 @@ def _render_strip(scene, *, y0: int, rows: int, ray_block: int,
     )
     xs = xs.reshape(-1)
     ys = ys.reshape(-1)
-    pix = (ys.astype(jnp.int32) * w + xs.astype(jnp.int32))
     rd = pixel_dirs(scene, xs, ys, 1.0, 1.0)
     ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
-    if st.show_normals:
-        accum3 = jnp.zeros((3, w * h), jnp.float32).at[:, pix].set(
-            shade_normals(scene, ro, rd, ray_block=ray_block)
-        )
+    if settings.show_normals:
+        accum3 = shade_normals(scene, ro, rd, ray_block=ray_block)
         stats = _zero_stats()
         # Strip totals sum to _primary_pass's w*h count.
         stats["rays_casted"] = jnp.asarray(rows * w, jnp.float32)
         return accum3, stats
     weight = jnp.ones((rows * w,), jnp.float32)
+    pix = jnp.arange(rows * w, dtype=jnp.int32)  # strip-local pixels
+    if st.any_bouncing:
+        return integrate(
+            scene, ro, rd, pix, weight, n_pixels=rows * w,
+            ray_block=ray_block, queue_headroom=queue_headroom,
+        )
+    # No bouncing: rays ARE the strip pixels in order — slot
+    # accumulation returns them directly, no scatter at all.
     return integrate(
-        scene, ro, rd, pix, weight, n_pixels=w * h, ray_block=ray_block,
-        queue_headroom=queue_headroom,
+        scene, ro, rd, pix, weight, n_pixels=rows * w,
+        ray_block=ray_block, out_slots=True,
     )
