@@ -84,11 +84,15 @@ def orbit_cameras(center, radius: float, n_frames: int, *,
 
 
 def render_frames(scene, cameras, *, mesh=None,
-                  ray_block: int = DEFAULT_RAY_BLOCK):
+                  ray_block: int = DEFAULT_RAY_BLOCK,
+                  out_u8: bool = False):
     """Render one frame per (pos, rot_deg) camera. Yields
     ((H, W, 3) numpy frame, aux) lazily so callers can stream frames to
     disk/encoder without holding the whole animation. With `mesh`, each
-    frame renders sharded over the device mesh.
+    frame renders sharded over the device mesh. With `out_u8` frames
+    come back as the BMP writer's u8 codes quantized on device (4x
+    smaller device->host transfer per frame — the right mode when the
+    consumer is a BMP/video encoder).
 
     Frames reuse one compiled executable — with one caveat: SSAA
     overflow auto-escalation compiles a new refinement capacity the
@@ -103,6 +107,68 @@ def render_frames(scene, cameras, *, mesh=None,
     for pos, rot in cameras:
         s = set_camera(scene, pos, rot_deg=rot)
         if mesh is not None:
-            yield render_sharded(s, mesh, ray_block=ray_block)
+            yield render_sharded(s, mesh, ray_block=ray_block,
+                                 out_u8=out_u8)
         else:
-            yield render(s, ray_block=ray_block)
+            yield render(s, ray_block=ray_block, out_u8=out_u8)
+
+
+def render_frames_pipelined(scene, cameras, *, mesh=None,
+                            ray_block: int = DEFAULT_RAY_BLOCK,
+                            out_u8: bool = False, depth: int = 2):
+    """render_frames with up to `depth` frames in flight: frame k+1's
+    render is dispatched (JAX dispatch is asynchronous) BEFORE frame
+    k's device->host pull, so the chip computes the next frame while
+    the host drains the previous one (and the caller encodes/writes
+    it). Same outputs as render_frames — when a frame's aux reports an
+    SSAA-capacity overflow or dropped transparent paths, that frame is
+    redone synchronously through the escalating host wrapper (rare,
+    bounded, identical result).
+
+    Per-frame wall-clock becomes max(compute, pull + encode) instead
+    of their sum — on a tunnel-attached chip the pull is a large
+    fraction of the frame, so animations run up to ~2x faster; pair
+    with out_u8=True to shrink the pull itself 4x."""
+    from collections import deque
+
+    from rendering_tpu.render.pipeline import render, render_scene
+
+    if mesh is not None:
+        from rendering_tpu.parallel.shard import _cached_sharded_fn
+
+        def dispatch(s):
+            return _cached_sharded_fn(mesh, ray_block, None, 1, out_u8)(s)
+    else:
+        def dispatch(s):
+            return render_scene(s, ray_block=ray_block, out_u8=out_u8)
+
+    st = scene.static.settings
+    cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
+
+    def finish(s, frame_dev, aux):
+        # First host sync for this frame: read the escalation scalars.
+        n_masked = int(aux["ssaa_masked"])
+        dropped = float(aux["stats"].get("paths_dropped", 0.0))
+        overflow = (st.enable_ssaa and not st.show_ac and n_masked > cap)
+        if overflow or dropped > 0:
+            # Redo through the escalating wrapper (recompiles anyway,
+            # so the pipeline gain is lost for this frame only).
+            if mesh is not None:
+                from rendering_tpu.parallel.shard import render_sharded
+
+                return render_sharded(s, mesh, ray_block=ray_block,
+                                      out_u8=out_u8)
+            return render(s, ray_block=ray_block, out_u8=out_u8)
+        frame = np.asarray(frame_dev)
+        if not out_u8:
+            frame = frame.transpose(1, 2, 0)
+        return frame, aux
+
+    pending = deque()
+    for pos, rot in cameras:
+        s = set_camera(scene, pos, rot_deg=rot)
+        pending.append((s, *dispatch(s)))
+        if len(pending) > depth:
+            yield finish(*pending.popleft())
+    while pending:
+        yield finish(*pending.popleft())

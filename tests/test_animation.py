@@ -97,3 +97,63 @@ def test_render_frames_sharded_matches():
     sharded = [f for f, _ in render_frames(scene, cams, mesh=mesh)]
     for a, b in zip(single, sharded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_render_frames_out_u8_matches_quantized():
+    from rendering_tpu.utils.bmp import quantize_reference
+
+    scene = _tiny_scene()
+    cams = orbit_cameras((0, 0, -4), 3.5, 2)
+    f32_frames = [f for f, _ in render_frames(scene, cams)]
+    u8_frames = [f for f, _ in render_frames(scene, cams, out_u8=True)]
+    for f32, u8 in zip(f32_frames, u8_frames):
+        assert u8.dtype == np.uint8
+        np.testing.assert_array_equal(u8, quantize_reference(f32))
+
+
+def test_render_frames_pipelined_matches():
+    """Pipelined frames == sequential frames (single-device and
+    sharded), including the u8 mode."""
+    import jax
+
+    from rendering_tpu.parallel.shard import make_ray_mesh
+    from rendering_tpu.render.animation import render_frames_pipelined
+
+    scene = _tiny_scene()
+    cams = orbit_cameras((0, 0, -4), 3.5, 4)
+    seq = [f for f, _ in render_frames(scene, cams)]
+    pip = [f for f, _ in render_frames_pipelined(scene, cams)]
+    for a, b in zip(seq, pip):
+        np.testing.assert_array_equal(a, b)
+
+    mesh = make_ray_mesh(jax.devices())
+    pip_sh = [f for f, _ in
+              render_frames_pipelined(scene, cams, mesh=mesh, out_u8=True)]
+    seq_u8 = [f for f, _ in render_frames(scene, cams, out_u8=True)]
+    for a, b in zip(seq_u8, pip_sh):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_render_frames_pipelined_escalates_ssaa_overflow():
+    """A frame whose Sobel mask outgrows the fraction-derived capacity
+    must be redone exactly (same pixels as the escalating wrapper)."""
+    import dataclasses
+
+    from rendering_tpu.render.animation import render_frames_pipelined
+    from rendering_tpu.render.pipeline import render
+
+    scene = _tiny_scene()
+    st = scene.static
+    scene = dataclasses.replace(
+        scene,
+        static=dataclasses.replace(
+            st, settings=st.settings.replace(
+                enable_ssaa=True, ssaa_capacity_fraction=0.01
+            )
+        ),
+    )
+    cams = orbit_cameras((0, 0, -4), 3.5, 2)
+    pip = [f for f, _ in render_frames_pipelined(scene, cams)]
+    for (pos, rot), frame in zip(cams, pip):
+        ref, _ = render(set_camera(scene, pos, rot_deg=rot))
+        np.testing.assert_array_equal(frame, ref)
