@@ -107,6 +107,9 @@ def _probe_backend(timeout_s: float = 300.0) -> None:
 
 
 def main() -> int:
+    from rendering_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     _probe_backend()
     width = int(os.environ.get("BENCH_WIDTH", 3840))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))

@@ -15,11 +15,15 @@ import sys
 from rendering_tpu.models.scene import load_scene
 from rendering_tpu.render.pipeline import render
 from rendering_tpu.utils.bmp import save_bmp
+from rendering_tpu.utils.compile_cache import enable_compilation_cache
 from rendering_tpu.utils.stats import RenderStats
 from rendering_tpu.utils.timer import Timer
 
 
 def main(argv=None) -> int:
+    # Repeat renders of the same scene shapes skip XLA recompiles
+    # entirely (persistent on-disk executable cache).
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="TPU-native raytracer")
     p.add_argument("scene", nargs="?", default="input/simple_shapes.scene")
     p.add_argument("--output", default=None, help="override output path")

@@ -41,6 +41,9 @@ def time_frames(gen_factory, n_frames: int) -> float:
 
 
 def main() -> int:
+    from rendering_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     width = int(os.environ.get("ANIM_WIDTH", 1920))
     height = int(os.environ.get("ANIM_HEIGHT", 1080))
     n_tris = int(os.environ.get("ANIM_TRIS", 250_000))

@@ -46,6 +46,9 @@ def time_render(scene, reps: int, out_u8: bool = False) -> float:
 
 
 def main() -> int:
+    from rendering_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     width = int(os.environ.get("E2E_WIDTH", 3840))
     height = int(os.environ.get("E2E_HEIGHT", 1080))
     n_tris = int(os.environ.get("E2E_TRIS", 250_000))

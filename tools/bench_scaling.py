@@ -61,6 +61,9 @@ def run_at(devices, scene, paths, reps: int) -> float:
 
 
 def main() -> int:
+    from rendering_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from rendering_tpu.flagship import build_flagship_scene

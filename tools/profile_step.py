@@ -33,6 +33,9 @@ def timeit(fn, *args, reps=5):
 
 
 def main():
+    from rendering_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 3840
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
