@@ -166,9 +166,12 @@ def render_frames_pipelined(scene, cameras, *, mesh=None,
 
     pending = deque()
     for pos, rot in cameras:
+        # Drain before dispatching so at most `depth` frames are in
+        # flight (dispatch-then-pop held depth+1 frames on device,
+        # which matters for device-memory budgeting at large frames).
+        if len(pending) >= depth:
+            yield finish(*pending.popleft())
         s = set_camera(scene, pos, rot_deg=rot)
         pending.append((s, *dispatch(s)))
-        if len(pending) > depth:
-            yield finish(*pending.popleft())
     while pending:
         yield finish(*pending.popleft())

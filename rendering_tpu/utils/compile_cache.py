@@ -32,8 +32,10 @@ def enable_compilation_cache() -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)
-        # Cache everything (default only caches long compiles) and
-        # never explode: both knobs exist on current jax; tolerate
+        # Cache every compile that matters (the 0.5 s floor skips
+        # trivial sub-half-second programs on purpose — they recompile
+        # faster than a cache probe over the tunnel) and never explode
+        # on entry size: both knobs exist on current jax; tolerate
         # their absence on older versions.
         for k, v in (
             ("jax_persistent_cache_min_compile_time_secs", 0.5),

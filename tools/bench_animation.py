@@ -27,10 +27,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def time_frames(gen_factory, n_frames: int) -> float:
-    """Seconds per frame, compile excluded (a throwaway first frame
-    warms the jit cache before timing a full pass)."""
-    for _ in gen_factory():  # warmup: compiles once, runs all frames
-        break
+    """Seconds per frame, compile excluded. The warmup pass runs ALL
+    frames (not just the first): with SSAA enabled a mid-orbit
+    capacity escalation recompiles, and breaking after frame 0 would
+    push that recompile into the timed pass and skew the fps."""
+    for _ in gen_factory():  # warmup: compiles every shape the orbit hits
+        pass
     t0 = time.perf_counter()
     n = 0
     for _frame, _aux in gen_factory():
