@@ -190,8 +190,10 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
             )
         else:
             # No bouncing: slot accumulation (pipeline._ssaa_pass) —
-            # collapse each masked pixel's 4 subsample slots with one
-            # reshape-sum, then scatter capacity/ndev lanes instead of
+            # subsample i of masked pixel k sits at slot i*nloc + k
+            # (subsample-major concatenation); collapse the 4 slots
+            # with one reshape-sum, then scatter capacity/ndev lanes
+            # instead of
             # 4x that. Fill lanes (idx clamped, weight 0) add zeros.
             nloc = idx_l.shape[0]
             slots3, stats = integrate(

@@ -144,9 +144,10 @@ def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK,
             queue_headroom=queue_headroom,
         )
     else:
-        # No bouncing: slot accumulation (see _primary_pass) — the 4
-        # subsample slots of a masked pixel sit at k*capacity + i, so
-        # one reshape-sum collapses them and the pixel scatter shrinks
+        # No bouncing: slot accumulation (see _primary_pass) — rays are
+        # concatenated subsample-major, so subsample i of masked pixel
+        # k sits at slot i*capacity + k; the reshape(3, 4, capacity)
+        # sum over axis 1 collapses them and the pixel scatter shrinks
         # from 4*capacity lanes into w*h to capacity lanes (at 4M
         # pixels the full scatter costs ~250 ms; this was the last
         # per-frame pixel-sized scatter on the SSAA path). Fill lanes

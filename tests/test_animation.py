@@ -5,6 +5,7 @@ the one-compile-for-all-frames property."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from rendering_tpu.models.parser import LightDef, ObjectDef, SceneDef
 from rendering_tpu.models.scene import build_scene
@@ -134,6 +135,7 @@ def test_render_frames_pipelined_matches():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_render_frames_pipelined_escalates_ssaa_overflow():
     """A frame whose Sobel mask outgrows the fraction-derived capacity
     must be redone exactly (same pixels as the escalating wrapper)."""

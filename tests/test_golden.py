@@ -105,6 +105,7 @@ def neighborhood_violations(ours, gold, tol=2):
 
 
 @pytest.mark.golden
+@pytest.mark.slow
 @pytest.mark.parametrize("name", SCENES)
 def test_golden(name, in_workspace):
     scene = load_scene(f"{name}.scene", RenderSettings(ssaa_capacity_fraction=1.0))

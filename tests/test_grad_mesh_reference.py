@@ -34,6 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Builds and runs the C++ reference binary per FD probe — CI-slow.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 

@@ -251,6 +251,7 @@ def test_fallback_fine_all_pairs(monkeypatch, mode):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("empty_ladder", [False, True])
 def test_fallback_coarse_retile(monkeypatch, empty_ladder):
     """SMEM-strained fallback -> COARSE (<=16-wide) retiled all-pairs

@@ -40,6 +40,7 @@ def test_sharded_matches_single(in_workspace, eight_device_mesh):
     np.testing.assert_allclose(f1, f8, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_mesh_scene(in_workspace, eight_device_mesh):
     scene = load_scene(
         "t07_no_ac.scene", RenderSettings(ssaa_capacity_fraction=1.0)
@@ -50,6 +51,7 @@ def test_sharded_mesh_scene(in_workspace, eight_device_mesh):
     np.testing.assert_allclose(f1, f8, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sharded_grad_psum(in_workspace, eight_device_mesh):
     """Gradient of a scalar loss w.r.t. replicated scene params under
     shard_map must equal the single-device gradient (the partitioned-AD
@@ -109,6 +111,7 @@ def test_multihost_helpers_single_process():
     assert abs(rep["efficiency"] - 0.9) < 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_odd_device_count(in_workspace):
     """Non-power-of-two meshes (3 and 6 of the 8 virtual devices) must
     produce the same frame — catches ray-count divisibility assumptions

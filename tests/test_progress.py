@@ -5,6 +5,7 @@ import dataclasses
 import itertools
 
 import numpy as np
+import pytest
 
 from rendering_tpu.models.scene import load_scene
 from rendering_tpu.models.settings import RenderSettings
@@ -45,6 +46,7 @@ def test_progress_render_matches_and_prints(in_workspace):
     assert lines == ["33%", "67%", "100%"]
     # strip stats must cover the same primary rays as the one-shot
     assert aux["stats"]["rays_casted"] >= 64 * 48
+@pytest.mark.slow
 
 
 def test_progress_sharded_matches(in_workspace):
@@ -73,6 +75,7 @@ def test_progress_sharded_matches(in_workspace):
     assert aux["stats"]["rays_casted"] >= 64 * 48
 
 
+@pytest.mark.slow
 def test_resumable_sharded_matches_and_resumes(in_workspace, tmp_path):
     """render_resumable(mesh=...) renders strips sharded, checkpoints,
     and resumes to the same frame."""
@@ -126,6 +129,7 @@ def test_resumable_show_ac_delegates(in_workspace, tmp_path):
     np.testing.assert_array_equal(f_ref, f_res)
 
 
+@pytest.mark.slow
 def test_progress_shownormals_runs_ssaa(in_workspace):
     """showNormals + SSAA: the reference's SSAAworker casts through
     castRay, which returns normal colors in that mode (scene.cpp:

@@ -7,6 +7,7 @@ pulls f32 frames and quantizes host-side."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rendering_tpu.render.pipeline import quantize_u8, render
 from rendering_tpu.utils.bmp import encode_bmp, quantize_reference
@@ -36,6 +37,7 @@ def test_quantize_u8_matches_reference_quantizer():
     np.testing.assert_array_equal(got, expect)
 
 
+@pytest.mark.slow
 def test_render_out_u8_matches_host_quantized_bmp(in_workspace):
     """render(out_u8=True) -> encode_bmp must produce the same bytes as
     the f32 render quantized host-side (the golden-test path)."""
@@ -62,6 +64,7 @@ def test_render_out_u8_matches_host_quantized_bmp(in_workspace):
     assert encode_bmp(u8_frame) == encode_bmp(f32_frame)
 
 
+@pytest.mark.slow
 def test_render_sharded_out_u8_matches(in_workspace):
     import dataclasses
 

@@ -7,6 +7,7 @@ parity on edge-heavy frames)."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 from rendering_tpu.models.scene import load_scene
 from rendering_tpu.models.settings import RenderSettings
@@ -21,6 +22,7 @@ def _with(scene, **kw):
     )
 
 
+@pytest.mark.slow
 def test_overflow_escalates_to_exact(in_workspace):
     # t01 at low resolution is edge-dense (every sphere silhouette,
     # shadow edge and highlight flips the Sobel mask).
@@ -38,6 +40,7 @@ def test_overflow_escalates_to_exact(in_workspace):
     np.testing.assert_array_equal(f_exact, f_small)
 
 
+@pytest.mark.slow
 def test_sharded_overflow_escalates(in_workspace):
     """render_sharded must auto-escalate like render(): without it, the
     where(mask, refined, frame) select blackens masked pixels past the

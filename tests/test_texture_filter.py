@@ -94,6 +94,7 @@ def _textured_scene(texture_filter):
     )
 
 
+@pytest.mark.slow
 def test_render_bilinear_differs_and_is_finite(in_workspace):
     from rendering_tpu.render.pipeline import render_scene
 
@@ -109,6 +110,7 @@ def test_render_bilinear_differs_and_is_finite(in_workspace):
     )
 
 
+@pytest.mark.slow
 def test_render_bilinear_texel_gradients_flow(in_workspace):
     from rendering_tpu.diff.inverse import apply_params, extract_params
     from rendering_tpu.render.pipeline import render_scene

@@ -17,6 +17,7 @@ import pytest
 
 
 @pytest.mark.golden
+@pytest.mark.slow
 def test_packed_maps_bitwise_equal_per_map_path(in_workspace):
     import jax.numpy as jnp
 
