@@ -196,6 +196,15 @@ class SceneData:
     meshes: tuple           # tuple[MeshData, ...]
     lights: tuple           # tuple[LightData, ...]
     skybox: Optional[jnp.ndarray]  # (6, H, W, 3)
+    # Fused multi-mesh chunk tables (ops.pallas_intersect.FusedTables):
+    # baked when the scene has >= 2 meshes so trace_closest /
+    # trace_occlusion issue ONE kernel dispatch per ray block
+    # regardless of mesh count (the reference's per-object loop,
+    # scene.cpp:724-756, has no per-object launch cost to mirror).
+    # The shadow tables exclude transparent meshes (scene.cpp:733-734);
+    # they alias fused_itables when no mesh is transparent.
+    fused_itables: Optional[object] = None
+    fused_shadow_itables: Optional[object] = None
     static: SceneStatic = dataclasses.field(metadata=dict(static=True), default=None)
 
 
@@ -224,6 +233,7 @@ def build_scene(sd: SceneDef) -> SceneData:
     sph_pos, sph_r = [], []
     pln_pos, pln_n = [], []
     meshes, mesh_statics = [], []
+    mesh_host_views, mesh_obj_idx = [], []
 
     for o in sd.objects:
         mat_types.append(_MAT_IDS[o.material])
@@ -342,6 +352,8 @@ def build_scene(sd: SceneDef) -> SceneData:
                     host_mesh, tri_chunk=default_tri_chunk(t_count)
                 ),
             )
+            mesh_host_views.append(host_mesh)
+            mesh_obj_idx.append(len(obj_kinds) - 1)
             mesh_statics.append(
                 MeshStatic(
                     n_tris=m.n_tris,
@@ -390,6 +402,27 @@ def build_scene(sd: SceneDef) -> SceneData:
     no = len(sd.objects)
     scale = np.tan(f32(st.fov) * f32(0.5) / f32(180.0) * f32(np.pi))
 
+    # Fused multi-mesh tables: one intersection dispatch for the whole
+    # scene. Gated on >= 2 meshes — single-mesh scenes keep the
+    # per-mesh path bit-for-bit (zero flagship regression by
+    # construction).
+    fused_itables = None
+    fused_shadow_itables = None
+    if len(mesh_host_views) >= 2:
+        from rendering_tpu.ops.pallas_intersect import build_fused_tables
+
+        clipped_flags = [m.clipped_by_root for m in meshes]
+        fused_itables = build_fused_tables(mesh_host_views, clipped_flags)
+        shadow_inc = [
+            mat_types[oi] != MAT_TRANSPARENT for oi in mesh_obj_idx
+        ]
+        if all(shadow_inc):
+            fused_shadow_itables = fused_itables
+        else:
+            fused_shadow_itables = build_fused_tables(
+                mesh_host_views, clipped_flags, include=shadow_inc
+            )  # None when every mesh is transparent
+
     return SceneData(
         cam_pos=jnp.asarray(sd.cam_pos, jnp.float32),
         cam_rmat=jnp.asarray(euler_matrix(sd.cam_rot)),
@@ -410,6 +443,8 @@ def build_scene(sd: SceneDef) -> SceneData:
         meshes=tuple(meshes),
         lights=lights,
         skybox=jnp.asarray(sd.skybox) if sd.skybox is not None else None,
+        fused_itables=fused_itables,
+        fused_shadow_itables=fused_shadow_itables,
         static=static,
     )
 

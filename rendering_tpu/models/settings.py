@@ -67,6 +67,12 @@ class RenderSettings:
     # VMEM, with per-chunk AABB culling. Only takes effect on the TPU
     # backend; other backends fall back to the jnp paths above.
     use_pallas_intersect: bool = True
+    # Run the Pallas intersection paths in interpreter mode on
+    # non-TPU backends (pl.pallas_call(interpret=True)) — test hook:
+    # lets the CPU suite exercise the exact kernel code paths
+    # (including the fused multi-mesh oracle) that only compile on
+    # real TPU hardware. Slow; never set in production.
+    pallas_interpret: bool = False
     # Static capacity of the SSAA refinement queue as a fraction of the
     # pixel count. Edge pixels are compacted to this many slots; if the
     # Sobel mask exceeds it, the overflow count is reported host-side.

@@ -439,14 +439,21 @@ def default_tri_chunk(n_tris: int) -> int:
 DEFAULT_SUB_PER_SUPER = int(os.environ.get("RT_N_SUB", "8"))
 
 
-def build_intersect_tables(mesh, *, tri_chunk: int = 256):
+def build_intersect_tables(mesh, *, tri_chunk: int = 256,
+                           n_sub: int | None = None):
     """Build the kernel-format chunk tables for a mesh. Call once per
     scene build. Pure NUMPY on the host: a jnp formulation compiled
     ~27 XLA programs per mesh, which costs minutes per scene over the
     remote-compile TPU tunnel; the host math is milliseconds. The
     tables are independent of every render flag (use_root_filter etc.
     only change the KERNEL's behavior), so one build serves any
-    settings surgery applied after build_scene."""
+    settings surgery applied after build_scene.
+
+    n_sub overrides the cull-chunks-per-super fanout (the fused
+    multi-mesh builder pins one value across all meshes so their super
+    blocks share the kernel's static (16, n_sub*Tc) shape; a mesh with
+    fewer chunks than n_sub pads its super with inverted-box cull
+    chunks that are always culled)."""
     import numpy as np
 
     if isinstance(mesh.v, jax.core.Tracer):
@@ -459,7 +466,8 @@ def build_intersect_tables(mesh, *, tri_chunk: int = 256):
     if T == 0:
         return None
     n_chunks = -(-T // tri_chunk)
-    n_sub = min(DEFAULT_SUB_PER_SUPER, n_chunks)
+    if n_sub is None:
+        n_sub = min(DEFAULT_SUB_PER_SUPER, n_chunks)
     n_super = -(-n_chunks // n_sub)
     n_chunks = n_super * n_sub           # pad to whole supers
     t_pad = n_chunks * tri_chunk - T
@@ -661,64 +669,31 @@ def _pallas_call(
     return out[0], out[1], jnp.zeros((1, 2), jnp.float32)
 
 
-def bruteforce_mesh_pallas(
-    mesh,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
-    t_limit: jnp.ndarray | None = None,
+def _intersect_tables_impl(
+    tb: "IntersectTables",
+    ro: jnp.ndarray,   # (3, R) rows
+    rd: jnp.ndarray,   # (3, R) rows
+    t_limit: jnp.ndarray | None,
     *,
-    backface_culling: bool = True,
-    tri_chunk: int | None = None,
-    use_root_filter: bool = True,
-    ray_tile: int | None = None,
-    interpret: bool = False,
-    tables: "IntersectTables | None" = None,
-    mode: str = "closest",
-    collect_stats: bool = False,
-    rays_row: bool = False,
+    backface_culling: bool,
+    use_root_filter: bool,
+    anyhit: bool,
+    collect_stats: bool,
+    ray_tile: int | None,
+    interpret: bool,
 ):
-    """Closest hit (mode="closest") or occlusion query (mode="any") over
-    all mesh triangles, fused on-chip. Interface matches
-    ops.bruteforce.bruteforce_mesh; in any-hit mode the returned tri is
-    0 where the ray is occluded within t_limit and -1 otherwise (t is
-    FLT_MAX). Pass prebuilt `tables` (build_intersect_tables) to skip
-    host-side table construction (required under jit — the build is
-    host numpy); table content is independent of every render flag.
-    Returns (t, tri, box_tests, tri_tests) with
-    box/tri test counters accumulated honestly on-device when
-    collect_stats=True (0 otherwise — the counting serializes the
-    kernel's scalar pipeline, so it is opt-in like the reference's
-    collectStatistics flag).
-
-    rays_row=True takes ro/rd as (3, R) rows (the integrator's (3, B)
-    layout) and skips the (R, 3) <-> (3, R) relayouts entirely — the
-    kernel operands are row-major anyway."""
-    T = int(mesh.v.shape[0])
-    if not rays_row:
-        ro = ro.T  # (3, R) — all internal layouts are row-major
-        rd = rd.T
+    """Run the chunked intersection kernel over prebuilt tables.
+    Mesh-agnostic core shared by the single-mesh wrapper
+    (bruteforce_mesh_pallas) and the fused multi-mesh oracle
+    (intersect_fused): the kernel only sees Morton-ordered chunk
+    tables, so multi-mesh fusion is pure table concatenation. Returns
+    (t_best (R,), raw_tri (R,), box_tests, tri_tests) where raw_tri is
+    the PADDED CHUNK-SPACE triangle id ((super*n_sub + sub)*tc + row;
+    -1 = miss / not occluded); callers own the id remap."""
     R = ro.shape[1]
-    anyhit = mode == "any"
-    if T == 0:
-        z = jnp.zeros((), jnp.int32)
-        return (
-            jnp.full((R,), FLT_MAX, jnp.float32),
-            jnp.full((R,), -1, jnp.int32),
-            z, z,
-        )
-
-    if tables is None:
-        if tri_chunk is None:
-            tri_chunk = default_tri_chunk(T)
-        tables = build_intersect_tables(mesh, tri_chunk=tri_chunk)
-    else:
-        if tri_chunk is not None:
-            assert tables.tri_chunk == tri_chunk
-        tri_chunk = tables.tri_chunk
-    tb = tables
+    tri_chunk = tb.tri_chunk
     n_sub = tb.n_sub
     n_super = tb.sbox.shape[0]
-    perm = tb.perm
 
     if ray_tile is None:
         ray_tile = (ANYHIT_RAY_TILE if anyhit else None) or DEFAULT_RAY_TILE
@@ -828,10 +803,73 @@ def bruteforce_mesh_pallas(
             branch = make_branch(s_cap, branch)
         t_out, tri_out, stats = branch()
 
-    t_best = t_out[0, :R]
-    tri_best = tri_out[0, :R]
-    tri_tests = stats[0, 0]
-    box_tests = stats[0, 1]
+    return t_out[0, :R], tri_out[0, :R], stats[0, 1], stats[0, 0]
+
+
+def bruteforce_mesh_pallas(
+    mesh,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    t_limit: jnp.ndarray | None = None,
+    *,
+    backface_culling: bool = True,
+    tri_chunk: int | None = None,
+    use_root_filter: bool = True,
+    ray_tile: int | None = None,
+    interpret: bool = False,
+    tables: "IntersectTables | None" = None,
+    mode: str = "closest",
+    collect_stats: bool = False,
+    rays_row: bool = False,
+):
+    """Closest hit (mode="closest") or occlusion query (mode="any") over
+    all mesh triangles, fused on-chip. Interface matches
+    ops.bruteforce.bruteforce_mesh; in any-hit mode the returned tri is
+    0 where the ray is occluded within t_limit and -1 otherwise (t is
+    FLT_MAX). Pass prebuilt `tables` (build_intersect_tables) to skip
+    host-side table construction (required under jit — the build is
+    host numpy); table content is independent of every render flag.
+    Returns (t, tri, box_tests, tri_tests) with
+    box/tri test counters accumulated honestly on-device when
+    collect_stats=True (0 otherwise — the counting serializes the
+    kernel's scalar pipeline, so it is opt-in like the reference's
+    collectStatistics flag).
+
+    rays_row=True takes ro/rd as (3, R) rows (the integrator's (3, B)
+    layout) and skips the (R, 3) <-> (3, R) relayouts entirely — the
+    kernel operands are row-major anyway."""
+    T = int(mesh.v.shape[0])
+    if not rays_row:
+        ro = ro.T  # (3, R) — all internal layouts are row-major
+        rd = rd.T
+    R = ro.shape[1]
+    anyhit = mode == "any"
+    if T == 0:
+        z = jnp.zeros((), jnp.int32)
+        return (
+            jnp.full((R,), FLT_MAX, jnp.float32),
+            jnp.full((R,), -1, jnp.int32),
+            z, z,
+        )
+
+    if tables is None:
+        if tri_chunk is None:
+            tri_chunk = default_tri_chunk(T)
+        tables = build_intersect_tables(mesh, tri_chunk=tri_chunk)
+    else:
+        if tri_chunk is not None:
+            assert tables.tri_chunk == tri_chunk
+    perm = tables.perm
+
+    t_best, tri_best, box_tests, tri_tests = _intersect_tables_impl(
+        tables, ro, rd, t_limit,
+        backface_culling=backface_culling,
+        use_root_filter=use_root_filter,
+        anyhit=anyhit,
+        collect_stats=collect_stats,
+        ray_tile=ray_tile,
+        interpret=interpret,
+    )
     if anyhit:
         return (
             jnp.full((R,), FLT_MAX, jnp.float32),
@@ -847,3 +885,176 @@ def bruteforce_mesh_pallas(
     found = tri_best >= 0
     t_best = jnp.where(found, t_best, FLT_MAX)
     return t_best, tri_best, box_tests, tri_tests
+
+
+class FusedTables:
+    """Concatenated multi-mesh chunk tables: ONE kernel dispatch per
+    ray block intersects EVERY mesh in the scene.
+
+    The reference's per-object closest-hit loop
+    (src/scene.cpp:724-756) costs nothing per extra object; a per-mesh
+    Pallas launch costs a full tile pre-cull + Mosaic dispatch each —
+    an N-mesh scene paid N of them per bounce. But the kernel is
+    mesh-agnostic: it walks Morton-ordered chunk tables, so fusing N
+    meshes is pure table concatenation along the super-chunk axis
+    (every mesh built with the SAME (tri_chunk, n_sub) so the static
+    block shapes agree). One shared pre-cull sees all meshes' super
+    AABBs; per-tile live lists naturally skip meshes the tile's rays
+    never approach.
+
+    `geo` is a plain IntersectTables over the concatenated chunks;
+    `idmap` is the raw-id remap — rows [mesh sub index, global column
+    into the scene's concatenated (30, T_total) vgeoT] indexed by the
+    kernel's padded chunk-space triangle id. Padded slots alias row 0
+    of their mesh (they are zero triangles and can never be returned).
+    """
+
+    def __init__(self, geo: IntersectTables, idmap, n_meshes: int,
+                 any_clipped: bool, t_total: int):
+        self.geo = geo
+        self.idmap = idmap          # (2, n_pad_total) i32
+        self.n_meshes = n_meshes
+        self.any_clipped = any_clipped
+        self.t_total = t_total
+
+    def tree_flatten(self):
+        return (
+            (self.geo, self.idmap),
+            (self.n_meshes, self.any_clipped, self.t_total),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, static, dyn):
+        return cls(dyn[0], dyn[1], *static)
+
+
+jax.tree_util.register_pytree_node(
+    FusedTables,
+    lambda t: t.tree_flatten(),
+    FusedTables.tree_unflatten,
+)
+
+
+def build_fused_tables(host_meshes, clipped_flags, include=None):
+    """Concatenate per-mesh chunk tables into one FusedTables.
+
+    host_meshes: sequence of host-side mesh views (numpy .v (T, 3, 3),
+    .reach_lo/.reach_hi (T, 3), .morton_perm or None) in scene sub
+    order — ALL meshes, including excluded ones (their triangle counts
+    still advance the global vgeoT column offset so idmap columns line
+    up with the scene's concatenated vgeoT).
+    clipped_flags[i]: mesh i's AABB pokes outside the reference's root
+    box (MeshData.clipped_by_root). Unclipped meshes get their RAW
+    triangle bounds substituted for the reach rows, which makes the
+    kernel's root filter an exact no-op for them — so one global
+    use_root_filter flag (use_ac and any_clipped) reproduces the
+    per-mesh `use_ac and clipped_by_root` gating exactly.
+    include: optional bool per mesh (e.g. the shadow tables exclude
+    transparent meshes, scene.cpp:733-734). Default: all.
+
+    Returns None when no included mesh has triangles. Host-side numpy
+    (same reasoning as build_intersect_tables)."""
+    import numpy as np
+
+    n = len(host_meshes)
+    if include is None:
+        include = [True] * n
+    ts = [int(m.v.shape[0]) for m in host_meshes]
+    t_total_inc = sum(t for t, inc in zip(ts, include) if inc)
+    if t_total_inc == 0:
+        return None
+    # One chunk shape for every mesh, sized by the INCLUDED total (the
+    # pre-pass and SMEM tables scale with the fused super count).
+    tc = default_tri_chunk(t_total_inc)
+    n_sub = DEFAULT_SUB_PER_SUPER
+
+    tris, cboxes, sboxes, mids, vids = [], [], [], [], []
+    vofs = 0
+    any_clipped = False
+    for i, m in enumerate(host_meshes):
+        t_i = ts[i]
+        if not include[i] or t_i == 0:
+            vofs += t_i
+            continue
+        any_clipped = any_clipped or bool(clipped_flags[i])
+        if clipped_flags[i]:
+            mm = m
+        else:
+            # Raw triangle bounds: the literal reference slab against a
+            # triangle's own AABB accepts every accepted M-T hit, so
+            # the root filter cannot reject anything for this mesh.
+            import types
+
+            v = np.asarray(m.v)
+            mm = types.SimpleNamespace(
+                v=m.v, reach_lo=v.min(axis=1), reach_hi=v.max(axis=1),
+                morton_perm=getattr(m, "morton_perm", None),
+            )
+        p = build_intersect_tables(mm, tri_chunk=tc, n_sub=n_sub)
+        tris.append(np.asarray(p.tri))
+        cboxes.append(np.asarray(p.cbox))
+        sboxes.append(np.asarray(p.sbox))
+        n_pad = p.tri.shape[0] * n_sub * tc
+        local = np.minimum(np.arange(n_pad), t_i - 1)
+        perm = getattr(m, "morton_perm", None)
+        if perm is not None:
+            local = np.asarray(perm)[local]
+        mids.append(np.full((n_pad,), i, np.int32))
+        vids.append((vofs + local).astype(np.int32))
+        vofs += t_i
+
+    idmap = np.stack(
+        [np.concatenate(mids), np.concatenate(vids)], axis=0
+    )  # (2, n_pad_total)
+    geo = IntersectTables(
+        tc, n_sub, None,
+        jnp.asarray(np.concatenate(tris, axis=0)),
+        jnp.asarray(np.concatenate(cboxes, axis=0)),
+        jnp.asarray(np.concatenate(sboxes, axis=0)),
+    )
+    return FusedTables(geo, jnp.asarray(idmap), n, any_clipped, vofs)
+
+
+def intersect_fused(
+    ft: FusedTables,
+    ro: jnp.ndarray,   # (3, R) rows
+    rd: jnp.ndarray,   # (3, R) rows
+    t_limit: jnp.ndarray | None = None,
+    *,
+    mode: str = "closest",
+    backface_culling: bool = True,
+    use_root_filter: bool = True,
+    collect_stats: bool = False,
+    ray_tile: int | None = None,
+    interpret: bool = False,
+):
+    """One kernel dispatch over ALL fused meshes.
+
+    mode="closest": returns (t (R,), mid (R,), vid (R,), box_tests,
+    tri_tests) — mid is the winning mesh's scene sub index (-1 = miss),
+    vid the global column into the concatenated vgeoT (clamped to 0 on
+    miss so it is always gather-safe). Cross-mesh ties at bit-equal t
+    resolve by chunk visit order, the same caveat as in-mesh ties.
+
+    mode="any": returns (occluded (R,) bool, box_tests, tri_tests) —
+    occlusion within t_limit by any fused mesh (rays entering with
+    t_limit < 0 are pre-done and cost nothing, the trace_occlusion
+    progressive-pruning contract)."""
+    anyhit = mode == "any"
+    t_best, raw, box_tests, tri_tests = _intersect_tables_impl(
+        ft.geo, ro, rd, t_limit,
+        backface_culling=backface_culling,
+        use_root_filter=use_root_filter,
+        anyhit=anyhit,
+        collect_stats=collect_stats,
+        ray_tile=ray_tile,
+        interpret=interpret,
+    )
+    if anyhit:
+        return raw >= 0, box_tests, tri_tests
+    found = raw >= 0
+    mv = ft.idmap[:, jnp.maximum(raw, 0)]  # (2, R)
+    mid = jnp.where(found, mv[0], -1)
+    vid = jnp.where(found, mv[1], 0)
+    t_best = jnp.where(found, t_best, FLT_MAX)
+    return t_best, mid, vid, box_tests, tri_tests

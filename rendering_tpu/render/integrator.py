@@ -158,22 +158,31 @@ def _per_obj3(table, obj, n_objects: int):
     return table.T[:, obj]
 
 
+def _pallas_backend(settings):
+    """(use_pallas, interpret) for the intersection oracle: the compiled
+    Pallas kernel on real TPU; interpreter-mode Pallas on any backend
+    when settings.pallas_interpret (test hook — the CPU suite exercises
+    the exact kernel code paths, including the fused multi-mesh
+    oracle); jnp fallbacks otherwise."""
+    if not settings.use_pallas_intersect:
+        return False, False
+    if jax.default_backend() == "tpu":
+        return True, False
+    return settings.pallas_interpret, settings.pallas_interpret
+
+
 def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
     """Discrete mesh hit: fused Pallas kernel on TPU (closest-hit or
     any-hit occlusion mode), dense chunked Moller-Trumbore on other
     backends, lockstep threaded-BVH walk for big meshes on CPU.
     ro3/rd3: (3, Q) rows. Returns (tri_id, box_tests, tri_tests); in
     any-hit mode tri_id >= 0 means occluded within t_limit."""
-    import jax as _jax
-
     from rendering_tpu.ops.bruteforce import bruteforce_mesh
     from rendering_tpu.ops.bruteforce_mxu import bruteforce_mesh_mxu
     from rendering_tpu.ops.pallas_intersect import bruteforce_mesh_pallas
 
     t_count = int(mesh.v.shape[0])
-    use_pallas = (
-        settings.use_pallas_intersect and _jax.default_backend() == "tpu"
-    )
+    use_pallas, pallas_interp = _pallas_backend(settings)
     # The Pallas kernel handles every mesh size (chunk AABB cull +
     # any-hit early-out); the jnp dense paths are only competitive below
     # the bruteforce threshold, above which the lockstep BVH walk is the
@@ -186,6 +195,7 @@ def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
             kw["mode"] = mode
             kw["collect_stats"] = settings.collect_statistics
             kw["rays_row"] = True  # (3, Q) straight through — no relayout
+            kw["interpret"] = pallas_interp
             tables = getattr(mesh, "itables", None)
             if tables is not None:
                 # Baked tables own the chunking decision (per-mesh
@@ -250,29 +260,78 @@ def trace_closest(scene, ro3, rd3, *, t_limit=None,
     )  # (Np, Q)
 
     mesh_t, mesh_tri, mesh_u, mesh_v, mesh_geo = [], [], [], [], []
-    for mesh in scene.meshes:
-        tri_d, bt, tt = _mesh_oracle(
-            jax.lax.stop_gradient(mesh), settings,
-            jax.lax.stop_gradient(ro3), jax.lax.stop_gradient(rd3),
-            jax.lax.stop_gradient(t_limit) if t_limit is not None else None,
+    sg = jax.lax.stop_gradient
+    use_pallas, pallas_interp = _pallas_backend(settings)
+    ft = getattr(scene, "fused_itables", None)
+    if ft is not None and use_pallas and st.n_meshes >= 2:
+        # Fused multi-mesh oracle: ONE kernel dispatch (and one shared
+        # tile pre-cull) for every mesh in the scene — the reference's
+        # per-object loop (scene.cpp:724-756) costs nothing per extra
+        # object, and neither does this. The winning (mesh, triangle)
+        # comes back as one global vgeoT column, so the surface-row
+        # gather and the differentiable re-evaluation also run ONCE
+        # instead of once per mesh.
+        from rendering_tpu.ops.pallas_intersect import intersect_fused
+
+        t_d, mid, vid, bt, tt = intersect_fused(
+            sg(ft), sg(ro3), sg(rd3),
+            sg(t_limit) if t_limit is not None else None,
+            mode="closest",
+            backface_culling=settings.use_backface_culling,
+            use_root_filter=settings.use_ac and ft.any_clipped,
+            collect_stats=settings.collect_statistics,
+            interpret=pallas_interp,
         )
+        del t_d  # the oracle's t is discrete; t re-evaluates below
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
-        # ONE gather of every per-triangle surface row (a gather costs
-        # the same regardless of row count); rows 0-8 feed the
-        # differentiable hit re-evaluation here, the rest ride along in
-        # Hit.geo for surface_data. Row layout: the vertex vectors are
-        # SLICES of the gather output — no repacking.
-        g = mesh.vgeoT[:, jnp.maximum(tri_d, 0)]  # (30, Q)
+        # In-graph concatenation keeps gradients flowing to every
+        # mesh's vertex arrays (concatenate is differentiable; XLA
+        # hoists the loop-invariant concat out of the bounce scan).
+        vgeoT_all = jnp.concatenate(
+            [m.vgeoT for m in scene.meshes], axis=1
+        )  # (30, T_total)
+        g = vgeoT_all[:, vid]  # (30, Q); vid is 0-clamped on miss
         t_r, u_r, v_r, _ = ray_triangle_r(
             ro3, rd3, g[0:3], g[3:6], g[6:9], settings.use_backface_culling
         )
-        found = tri_d >= 0
-        mesh_t.append(jnp.where(found, t_r, FLT_MAX))
-        mesh_tri.append(jnp.where(found, tri_d, -1))
-        mesh_u.append(jnp.where(found, u_r, 0.0))
-        mesh_v.append(jnp.where(found, v_r, 0.0))
-        mesh_geo.append(g)
+        # Per-mesh columns for the scene-order object argmin below —
+        # identical downstream to the per-mesh path. Local triangle ids
+        # recover via the static per-mesh vgeoT offsets.
+        vofs = [0]
+        for ms in st.meshes:
+            vofs.append(vofs[-1] + ms.n_tris)
+        for sub in range(st.n_meshes):
+            selm = mid == sub  # only true where the oracle found a hit
+            mesh_t.append(jnp.where(selm, t_r, FLT_MAX))
+            mesh_tri.append(jnp.where(selm, vid - vofs[sub], -1))
+            mesh_u.append(jnp.where(selm, u_r, 0.0))
+            mesh_v.append(jnp.where(selm, v_r, 0.0))
+            mesh_geo.append(g)
+    else:
+        for mesh in scene.meshes:
+            tri_d, bt, tt = _mesh_oracle(
+                sg(mesh), settings, sg(ro3), sg(rd3),
+                sg(t_limit) if t_limit is not None else None,
+            )
+            stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
+            stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
+            # ONE gather of every per-triangle surface row (a gather
+            # costs the same regardless of row count); rows 0-8 feed
+            # the differentiable hit re-evaluation here, the rest ride
+            # along in Hit.geo for surface_data. Row layout: the vertex
+            # vectors are SLICES of the gather output — no repacking.
+            g = mesh.vgeoT[:, jnp.maximum(tri_d, 0)]  # (30, Q)
+            t_r, u_r, v_r, _ = ray_triangle_r(
+                ro3, rd3, g[0:3], g[3:6], g[6:9],
+                settings.use_backface_culling
+            )
+            found = tri_d >= 0
+            mesh_t.append(jnp.where(found, t_r, FLT_MAX))
+            mesh_tri.append(jnp.where(found, tri_d, -1))
+            mesh_u.append(jnp.where(found, u_r, 0.0))
+            mesh_v.append(jnp.where(found, v_r, 0.0))
+            mesh_geo.append(g)
 
     cols = []
     for oi, kind in enumerate(st.obj_kinds):
@@ -364,6 +423,30 @@ def trace_occlusion(scene, ro3, rd3, dist, *, ray_block: int | None = None):
         t = intersect_planes_r(ro3, rd3, scene.pln_pos, scene.pln_n)
         keep = jnp.asarray(pln_mask)[:, None]
         occluded = occluded | jnp.any(keep & (t < dist[None, :]), axis=0)
+    use_pallas, pallas_interp = _pallas_backend(settings)
+    fts = getattr(scene, "fused_shadow_itables", None)
+    if fts is not None and use_pallas and any(mesh_mask):
+        # Fused shadow oracle: one any-hit dispatch over every
+        # non-transparent mesh (transparent objects cast no shadows,
+        # scene.cpp:733-734 — they are excluded at table-build time).
+        # Rays already occluded by spheres/planes enter pre-done
+        # (t0 = -1 culls every chunk); cross-mesh progressive pruning
+        # happens INSIDE the kernel via the running done marker.
+        from rendering_tpu.ops.pallas_intersect import intersect_fused
+
+        dist_m = jnp.where(occluded, -1.0, dist)
+        occ_m, bt, tt = intersect_fused(
+            jax.lax.stop_gradient(fts), ro3, rd3, dist_m,
+            mode="any",
+            backface_culling=settings.use_backface_culling,
+            use_root_filter=settings.use_ac and fts.any_clipped,
+            collect_stats=settings.collect_statistics,
+            interpret=pallas_interp,
+        )
+        stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
+        stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
+        occluded = occluded | occ_m
+        return occluded, stats
     for mi, mesh in enumerate(scene.meshes):
         if not mesh_mask[mi]:
             continue
@@ -926,6 +1009,15 @@ def integrate(scene, ro, rd, pix, weight, n_pixels: int, *,
     instead of being weight-dropped. Dead lanes cost almost nothing to
     trace (t_limit = -1 culls them in the intersection kernel). The
     host wrappers escalate it automatically when stats report drops.
+
+    Gradient aggregation under shard_map (SURVEY section 5.8): the
+    scene enters the bounce scan as a replicated (vma-unvarying)
+    closure constant, so vma-aware partitioned AD transposes each
+    in-body `pvary` into a `psum` INSIDE the backward scan — parameter
+    gradients all-reduce once per bounce, overlapped with the next
+    backward step's compute, by construction. See
+    parallel.overlap (which pins this structurally and provides the
+    single-bulk-psum alternative schedule for hardware A/B).
     """
     st = scene.static
     if out_slots:
