@@ -2,8 +2,12 @@
 
 Mirrors the reference's `main` (src/main.cpp:5-16): default scene is
 `input/simple_shapes.scene`, output is `<image_name>.bmp`. Phase timers
-match the reference's Timer names (Total time / Render scene / MSAA is
-folded into the jitted render; OBJ loading happens inside scene load).
+match the reference's Timer names: Total time / Render scene / OBJ
+loading (per mesh, models/parser.py), and on the outputProgress strip
+path also MSAA / Sobel filter (scene.cpp:544,553 — in the default
+render those two phases are deliberately FUSED into the single jitted
+render program, which is the TPU-right structure; the strip path runs
+SSAA as its own program and reports them).
 The reference's xdg-open auto-launch is intentionally NOT replicated.
 """
 

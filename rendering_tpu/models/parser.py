@@ -417,9 +417,15 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 elif key == "rot":
                     obj.rot = _to_vec3(value)
                 elif key == "name":
+                    # Reference prints a per-mesh "OBJ loading" phase
+                    # (src/objects.cpp:217), gated by enableOutput.
+                    from rendering_tpu.utils.timer import Timer
+
+                    t_obj = Timer("OBJ loading", cur.enable_output)
                     obj.mesh = load_obj(
                         value, obj.size, obj.rot, obj.pos, bias=cur.bias
                     )
+                    t_obj.stop()
                 elif key == "diffuse_map":
                     if cur.use_textures:
                         _require_map_file(value)

@@ -153,6 +153,9 @@ class MeshData:
     # .IntersectTables) — the baked acceleration structure for the
     # fused intersection kernel. None on hand-built test meshes.
     itables: Optional[object] = None
+    # Optional separate tables for any-hit (shadow) queries
+    # (settings.anyhit_tri_chunk); None = share itables.
+    itables_anyhit: Optional[object] = None
     leaf_chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
     # True when the mesh's true AABB pokes outside the reference's root
     # box (rotated meshes) — only then does dense intersection need the
@@ -351,6 +354,13 @@ def build_scene(sd: SceneDef) -> SceneData:
                 itables=build_intersect_tables(
                     host_mesh, tri_chunk=default_tri_chunk(t_count)
                 ),
+                itables_anyhit=(
+                    build_intersect_tables(
+                        host_mesh, tri_chunk=st.anyhit_tri_chunk,
+                        n_sub=st.anyhit_n_sub or None,
+                    )
+                    if st.anyhit_tri_chunk else None
+                ),
             )
             mesh_host_views.append(host_mesh)
             mesh_obj_idx.append(len(obj_kinds) - 1)
@@ -416,11 +426,14 @@ def build_scene(sd: SceneDef) -> SceneData:
         shadow_inc = [
             mat_types[oi] != MAT_TRANSPARENT for oi in mesh_obj_idx
         ]
-        if all(shadow_inc):
+        if all(shadow_inc) and not st.anyhit_tri_chunk:
             fused_shadow_itables = fused_itables
         else:
             fused_shadow_itables = build_fused_tables(
-                mesh_host_views, clipped_flags, include=shadow_inc
+                mesh_host_views, clipped_flags, include=shadow_inc,
+                tri_chunk=st.anyhit_tri_chunk or None,
+                n_sub=(st.anyhit_n_sub or None)
+                if st.anyhit_tri_chunk else None,
             )  # None when every mesh is transparent
 
     return SceneData(

@@ -73,6 +73,14 @@ class RenderSettings:
     # (including the fused multi-mesh oracle) that only compile on
     # real TPU hardware. Slow; never set in production.
     pallas_interpret: bool = False
+    # Any-hit (shadow) queries may use their own chunk-table shape:
+    # occluded rays resolve on their first live chunk while unoccluded
+    # rays must disprove EVERY live chunk, so finer cull chunks trade
+    # more slab batches for less wasted Moller-Trumbore on the
+    # unoccluded tail (docs/PERF.md roofline A/B). 0 = share the
+    # closest-hit tables (default — the measured optimum so far).
+    anyhit_tri_chunk: int = 0
+    anyhit_n_sub: int = 0
     # Static capacity of the SSAA refinement queue as a fraction of the
     # pixel count. Edge pixels are compacted to this many slots; if the
     # Sobel mask exceeds it, the overflow count is reported host-side.

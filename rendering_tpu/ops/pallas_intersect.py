@@ -935,7 +935,9 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_fused_tables(host_meshes, clipped_flags, include=None):
+def build_fused_tables(host_meshes, clipped_flags, include=None,
+                       tri_chunk: int | None = None,
+                       n_sub: int | None = None):
     """Concatenate per-mesh chunk tables into one FusedTables.
 
     host_meshes: sequence of host-side mesh views (numpy .v (T, 3, 3),
@@ -964,9 +966,10 @@ def build_fused_tables(host_meshes, clipped_flags, include=None):
     if t_total_inc == 0:
         return None
     # One chunk shape for every mesh, sized by the INCLUDED total (the
-    # pre-pass and SMEM tables scale with the fused super count).
-    tc = default_tri_chunk(t_total_inc)
-    n_sub = DEFAULT_SUB_PER_SUPER
+    # pre-pass and SMEM tables scale with the fused super count);
+    # tri_chunk/n_sub override for the any-hit chunk-shape experiment.
+    tc = tri_chunk or default_tri_chunk(t_total_inc)
+    n_sub = n_sub or DEFAULT_SUB_PER_SUPER
 
     tris, cboxes, sboxes, mids, vids = [], [], [], [], []
     vofs = 0

@@ -197,6 +197,10 @@ def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
             kw["rays_row"] = True  # (3, Q) straight through — no relayout
             kw["interpret"] = pallas_interp
             tables = getattr(mesh, "itables", None)
+            if mode == "any":
+                # Shadow queries may bake their own chunk shape
+                # (settings.anyhit_tri_chunk; docs/PERF.md A/B).
+                tables = getattr(mesh, "itables_anyhit", None) or tables
             if tables is not None:
                 # Baked tables own the chunking decision (per-mesh
                 # size). Table content is flag-independent (root

@@ -462,6 +462,16 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     # casts through castRay, which returns normal colors in that mode
     # (scene.cpp:601-605, 771-772); _ssaa_pass has the matching branch.
     if st.enable_ssaa:
+        from rendering_tpu.utils.timer import Timer
+
+        # Reference phase timers (scene.cpp:544,553). The Sobel mask is
+        # recomputed inside the jitted SSAA program; this standalone
+        # evaluation (sub-ms conv2d) exists only to report the phase,
+        # so it runs only when the print would.
+        if st.enable_output:
+            t_sobel = Timer("Sobel filter", True)
+            t_sobel.stop(jax.jit(sobel_mask)(frame3))
+        t_msaa = Timer("MSAA", st.enable_output)
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
         scene_t = derive_mesh_tables(scene)
         base3 = frame3
@@ -470,6 +480,7 @@ def render_with_progress(scene, *, strip_rows: int = 128,
             capacity = min(w * h,
                            1 << (max(int(n_masked), 2) - 1).bit_length())
             frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
+        t_msaa.stop(frame3)
         for k in stats_acc:
             stats_acc[k] += float(s2[k])
     if (stats_acc["paths_dropped"] > 0

@@ -56,25 +56,45 @@ SCENES = [
 # root-box clipping on rotated meshes (isolated mesh-edge pixels).
 DEFAULT_TOL = (0.006, 0.005, 0.001)
 
-# Per-scene budgets: ~3x the fractions measured against the committed
-# goldens (CPU and TPU agree to ~1e-5), capped at DEFAULT_TOL — so a
-# shading-level bug confined to well under 0.5% of pixels still fails
-# on the scenes where parity is currently much tighter (a round-1
-# review point: blanket fraction budgets hid that headroom).
+# Per-scene budgets: <= 1.5x the fractions measured against the
+# committed goldens in round 4 (CPU and TPU agree to ~1e-5; floors of
+# 5e-5 absorb platform jitter on the scenes that currently match
+# exactly) — so a localized shading bug cannot hide inside a blanket
+# silhouette allowance (round-3 review point; the round-1 point about
+# blanket budgets applies a fortiori).
 SCENE_TOL = {
-    "t01_simple_shapes":  (0.0009, 0.0008, 0.0002),
-    "t02_teapot_diffuse": (0.0013, 0.0013, 0.0003),
-    "t03_cow_textured":   (0.0006, 0.0005, 0.0002),
-    "t04_skybox":         (0.0002, 0.0002, 0.0002),
-    "t05_area":           (0.0002, 0.0002, 0.0002),
-    "t06_backface_off":   (0.0014, 0.0011, 0.0002),
-    "t07_no_ac":          (0.0002, 0.0002, 0.0002),
-    "t08_shownormals":    (0.0007, 0.0006, 0.0003),
-    "t09_showac":         (0.0060, 0.0012, 0.0007),
-    "t10_shotgun":        (0.0027, 0.0027, 0.0010),
-    "t11_sphere_smooth":  (0.0060, 0.0050, 0.0010),
-    "t12_bunny_multi":    (0.0047, 0.0043, 0.0010),
-    "t13_reflective_full": (0.0002, 0.0002, 0.0002),
+    "t01_simple_shapes":  (0.00045, 0.00040, 0.00005),
+    "t02_teapot_diffuse": (0.00062, 0.00062, 0.00013),
+    "t03_cow_textured":   (0.00028, 0.00024, 0.00005),
+    "t04_skybox":         (0.00005, 0.00005, 0.00005),
+    "t05_area":           (0.00005, 0.00005, 0.00005),
+    "t06_backface_off":   (0.00070, 0.00055, 0.00005),
+    "t07_no_ac":          (0.00005, 0.00005, 0.00005),
+    "t08_shownormals":    (0.00032, 0.00026, 0.00012),
+    "t09_showac":         (0.00500, 0.00057, 0.00033),
+    "t10_shotgun":        (0.00140, 0.00140, 0.00086),
+    "t11_sphere_smooth":  (0.00593, 0.00500, 0.00057),
+    "t12_bunny_multi":    (0.00240, 0.00220, 0.00051),
+    "t13_reflective_full": (0.00005, 0.00005, 0.00005),
+}
+
+# Mean-absolute-diff ceilings (u8 steps over interior pixels), <= 1.5x
+# measured with a 0.002 floor: bounds the TOTAL deviation so even a
+# sub-threshold-fraction bug with large magnitude fails.
+SCENE_MAD = {
+    "t01_simple_shapes":  0.048,
+    "t02_teapot_diffuse": 0.037,
+    "t03_cow_textured":   0.014,
+    "t04_skybox":         0.002,
+    "t05_area":           0.002,
+    "t06_backface_off":   0.014,
+    "t07_no_ac":          0.002,
+    "t08_shownormals":    0.017,
+    "t09_showac":         0.026,
+    "t10_shotgun":        0.124,
+    "t11_sphere_smooth":  0.144,
+    "t12_bunny_multi":    0.096,
+    "t13_reflective_full": 0.002,
 }
 
 
@@ -127,4 +147,9 @@ def test_golden(name, in_workspace):
     assert frac_gt8 <= tol8, f"{name}: {frac_gt8:.4%} interior pixels differ >8"
     assert frac_viol <= tolv, (
         f"{name}: {frac_viol:.4%} interior pixels outside golden 3x3 envelope"
+    )
+    mad = float(inner.mean())
+    mad_tol = SCENE_MAD.get(name, 0.15)
+    assert mad <= mad_tol, (
+        f"{name}: interior mean |diff| {mad:.4f} u8 steps > {mad_tol}"
     )

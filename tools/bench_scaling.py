@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_at(devices, scene, paths, reps: int) -> float:
+def run_at(devices, scene, paths, reps: int, force_sharded=False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,10 @@ def run_at(devices, scene, paths, reps: int) -> float:
 
     st = scene.static.settings
     params = extract_params(scene, paths)
-    mesh = make_ray_mesh(devices) if len(devices) > 1 else None
+    mesh = (
+        make_ray_mesh(devices)
+        if (len(devices) > 1 or force_sharded) else None
+    )
 
     def loss_fn(params, scene):
         s = apply_params(scene, params, paths)
@@ -91,6 +94,14 @@ def main() -> int:
     rates = {}
     for c in counts:
         rates[str(c)] = round(run_at(devs[:c], scene, paths, reps), 1)
+    if "1" in rates:
+        # The production multi-chip path on ONE chip: shard_map + the
+        # Pallas kernel composed on real hardware (VERDICT r3 #4). The
+        # gap vs the unsharded "1" number is the pure sharding
+        # overhead (layout permutation + shard_map wrapping).
+        rates["1_sharded"] = round(
+            run_at(devs[:1], scene, paths, reps, force_sharded=True), 1
+        )
 
     n_max = str(counts[-1])
     eff = (

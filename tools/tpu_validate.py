@@ -27,6 +27,7 @@ DEFAULT_SCENES = [
     "t04_skybox",
     "t09_showac",
     "t10_shotgun",
+    "t12_bunny_multi",   # fused multi-mesh dispatch on the real chip
     "t13_reflective_full",
 ]
 
@@ -86,9 +87,54 @@ def check_stats_kernel() -> bool:
     return ok
 
 
+def check_sharded_lane() -> bool:
+    """shard_map + Pallas composed ON THE REAL CHIP (VERDICT r3 #4):
+    render_scene_sharded over a 1-device mesh must equal the unsharded
+    TPU render u8-exactly, and its throughput is reported. Until this
+    lane existed the production multi-chip path had only ever executed
+    on fake CPU devices — grid/scalar-prefetch interactions under
+    shard_map are exactly where TPU surprises live."""
+    import time
+
+    import jax
+
+    from rendering_tpu.flagship import build_flagship_scene
+    from rendering_tpu.parallel.shard import (
+        make_ray_mesh,
+        render_scene_sharded,
+    )
+    from rendering_tpu.render.pipeline import render_scene
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    scene = build_flagship_scene(width=512, height=256, enable_ssaa=True)
+    mesh = make_ray_mesh(jax.devices()[:1])
+    f_single = jax.jit(lambda s: render_scene(s, out_u8=True)[0])
+    f_shard = jax.jit(
+        lambda s: render_scene_sharded(s, mesh, out_u8=True)[0]
+    )
+    a = np.asarray(f_single(scene))
+    b = np.asarray(f_shard(scene))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = f_shard(scene)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    rays = 512 * 256
+    equal = bool((a == b).all())
+    print(
+        f"sharded lane (1-dev mesh, shard_map+Pallas on chip): "
+        f"u8-equal={equal}, {rays / dt / 1e6:.2f}M rays/s "
+        f"-> {'OK' if equal else 'FAIL'}",
+        flush=True,
+    )
+    return equal
+
+
 def main_() -> int:
     scenes = sys.argv[1:] or DEFAULT_SCENES
     ok = check_stats_kernel()
+    ok = check_sharded_lane() and ok
     for s in scenes:
         ok = check_scene(s) and ok
     print("ALL OK" if ok else "FAILURES", flush=True)
