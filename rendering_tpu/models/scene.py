@@ -415,10 +415,13 @@ def build_scene(sd: SceneDef) -> SceneData:
     # Fused multi-mesh tables: one intersection dispatch for the whole
     # scene. Gated on >= 2 meshes — single-mesh scenes keep the
     # per-mesh path bit-for-bit (zero flagship regression by
-    # construction).
+    # construction) — except under geometry sharding, which always
+    # routes through the fused tables (they are what gets sharded).
     fused_itables = None
     fused_shadow_itables = None
-    if len(mesh_host_views) >= 2:
+    if len(mesh_host_views) >= 2 or (
+        st.geo_shard_axis is not None and mesh_host_views
+    ):
         from rendering_tpu.ops.pallas_intersect import build_fused_tables
 
         clipped_flags = [m.clipped_by_root for m in meshes]

@@ -73,6 +73,16 @@ class RenderSettings:
     # (including the fused multi-mesh oracle) that only compile on
     # real TPU hardware. Slow; never set in production.
     pallas_interpret: bool = False
+    # By-primitive GEOMETRY sharding (SURVEY section 5.8 stretch goal):
+    # when set to a mesh-axis name, the fused chunk tables arrive
+    # sharded along the super-chunk axis (each device owns a slice of
+    # the scene's triangles), the intersection oracle runs on the
+    # local shard, and trace_closest/trace_occlusion combine per-ray
+    # results across the axis (all_gather argmin / psum-any). Set only
+    # inside parallel.geoshard's shard_map wrapper — scenes render
+    # replicated-geometry by default (shotgun-class scenes are << 1GB;
+    # this is the beyond-HBM path).
+    geo_shard_axis: "str | None" = None
     # Any-hit (shadow) queries may use their own chunk-table shape:
     # occluded rays resolve on their first live chunk while unoccluded
     # rays must disprove EVERY live chunk, so finer cull chunks trade

@@ -632,16 +632,26 @@ def _pallas_call(
                      lambda s, pt, pc, pv: (0, pt[s]),
                      memory_space=pltpu.VMEM),
     ]
+    # vma for mixed-varying operands (geometry sharding: tables vary
+    # over 'geo' while rays vary over 'rays'): with check_vma shard_map
+    # pallas_call cannot infer the output's varying axes, so declare
+    # them as the union of the inputs'.
+    vma = set()
+    for a in (ptile, psuper, plive, cbox, tri, aux):
+        vma |= set(getattr(jax.typeof(a), "vma", ()) or ())
+    sds_kw = {"vma": frozenset(vma)} if vma else {}
     out_shape = [
-        jax.ShapeDtypeStruct((1, rp), jnp.float32),
-        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32, **sds_kw),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32, **sds_kw),
     ]
     if collect_stats:
         out_specs.append(
             pl.BlockSpec((1, 2), lambda s, pt, pc, pv: (0, 0),
                          memory_space=pltpu.SMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.float32))
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, 2), jnp.float32, **sds_kw)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S,),

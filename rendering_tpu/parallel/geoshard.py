@@ -1,0 +1,216 @@
+"""By-primitive GEOMETRY sharding (SURVEY section 5.8 stretch goal).
+
+The default scale-out replicates the scene and shards rays — right for
+shotgun-class scenes (<< 1 GB). For scenes whose acceleration tables
+outgrow one chip's HBM, this module shards the FUSED chunk tables
+themselves across a second mesh axis:
+
+  mesh = Mesh(devices.reshape(R, G), ("rays", "geo"))
+
+* the fused super-chunk tables (ops.pallas_intersect.FusedTables) are
+  padded to G-divisible super counts and physically sharded along the
+  super axis (shard_map in_specs) — each device HOLDS 1/G of the
+  scene's triangles in kernel format;
+* every device intersects its ray shard against its table shard (the
+  kernel and its tile pre-cull are shard-size-agnostic);
+* trace_closest combines per-ray winners across 'geo' with pmin +
+  rank-tie-break psum selects, trace_occlusion with a psum-any — both
+  collectives produce vma-unvarying results, so shading runs once per
+  ray shard on the combined hit, replicated over 'geo'
+  (render.integrator fused branches, settings.geo_shard_axis);
+* idmap values are GLOBAL (mesh sub index / vgeoT column), so a shard-
+  local hit needs no id rebasing after the combine.
+
+Scope and honesty: this shards the INTERSECTION tables (16 f32 rows
+per triangle + chunk boxes — the dominant per-triangle footprint along
+with vgeoT). The shading-side vgeoT gather still reads a replicated
+(30, T) table; sharding that too requires a cross-device gather of
+winner rows (all_to_all), the noted next step if scenes ever outgrow
+HBM on the shading side as well.
+
+Scenes must be built with settings.geo_shard_axis="geo" (the combine
+collectives are traced into the bounce loop) and can then ONLY render
+through render_scene_geo_sharded. Demo scope: primary pass (the
+benchmark shape; SSAA refinement composes the same way the ray-sharded
+SSAA pass does but is not wired here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rendering_tpu.ops.pallas_intersect import (
+    FusedTables,
+    IntersectTables,
+    _FMAX,
+)
+from rendering_tpu.parallel.shard import _round_robin_layout, _shard_map
+from rendering_tpu.render.integrator import DEFAULT_RAY_BLOCK, integrate
+from rendering_tpu.render.raygen import pixel_dirs
+
+
+def make_geo_mesh(devices=None, n_geo: int = 2) -> Mesh:
+    """2-D (rays, geo) mesh over the devices; n_geo divides them."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size % n_geo == 0
+    return Mesh(devices.reshape(devices.size // n_geo, n_geo),
+                ("rays", "geo"))
+
+
+def pad_fused_for_shards(ft: FusedTables, g: int) -> FusedTables:
+    """Pad the super-chunk count to a multiple of g so P('geo') shards
+    whole supers. Padding supers carry zero triangles and inverted
+    boxes — the pre-cull never marks them live."""
+    cs = ft.geo.sbox.shape[0]
+    pad = (-cs) % g
+    if pad == 0:
+        return ft
+    tc, ns = ft.geo.tri_chunk, ft.geo.n_sub
+    inv_box = np.concatenate(
+        [np.full((pad, 3), _FMAX, np.float32),
+         np.full((pad, 3), -_FMAX, np.float32),
+         np.zeros((pad, 2), np.float32)], axis=1,
+    )
+    inv_cbox = np.repeat(inv_box, ns, axis=0)
+    geo = IntersectTables(
+        tc, ns, None,
+        jnp.concatenate(
+            [ft.geo.tri, jnp.zeros((pad,) + ft.geo.tri.shape[1:],
+                                   jnp.float32)]
+        ),
+        jnp.concatenate([ft.geo.cbox, jnp.asarray(inv_cbox)]),
+        jnp.concatenate([ft.geo.sbox, jnp.asarray(inv_box)]),
+    )
+    idmap = jnp.concatenate(
+        [ft.idmap, jnp.zeros((2, pad * ns * tc), jnp.int32)], axis=1
+    )
+    return FusedTables(geo, idmap, ft.n_meshes, ft.any_clipped, ft.t_total)
+
+
+def _table_args(ft: FusedTables):
+    return {"tri": ft.geo.tri, "cbox": ft.geo.cbox, "sbox": ft.geo.sbox,
+            "idmap": ft.idmap}
+
+
+_TABLE_SPECS = {
+    "tri": P("geo", None, None),
+    "cbox": P("geo", None),
+    "sbox": P("geo", None),
+    "idmap": P(None, "geo"),
+}
+
+
+def render_scene_geo_sharded(scene, mesh: Mesh,
+                             ray_block: int = DEFAULT_RAY_BLOCK):
+    """Primary-pass render with rays sharded over 'rays' and the fused
+    geometry tables sharded over 'geo'. Returns (frame3 (3, H, W),
+    stats) matching render_scene's primary pass u8-exactly (pinned by
+    tests/test_geoshard.py). The scene must be built with
+    settings.geo_shard_axis == 'geo' and enable_ssaa False."""
+    from rendering_tpu.render.pipeline import derive_mesh_tables
+
+    st = scene.static
+    settings = st.settings
+    assert settings.geo_shard_axis == "geo", (
+        "build the scene with RenderSettings(geo_shard_axis='geo')"
+    )
+    assert not settings.enable_ssaa and not settings.show_ac
+    assert scene.fused_itables is not None, "geo sharding needs meshes"
+    w, h = settings.width, settings.height
+    g = dict(zip(mesh.axis_names, mesh.devices.shape))["geo"]
+    ndev_r = dict(zip(mesh.axis_names, mesh.devices.shape))["rays"]
+
+    ft = pad_fused_for_shards(scene.fused_itables, g)
+    fts = scene.fused_shadow_itables
+    shadow_aliases = fts is scene.fused_itables
+    fts_p = (
+        ft if shadow_aliases
+        else (pad_fused_for_shards(fts, g) if fts is not None else None)
+    )
+    scene0 = dataclasses.replace(
+        scene, fused_itables=None, fused_shadow_itables=None
+    )
+
+    r = w * h
+    rp, perm = _round_robin_layout(r, ndev_r)
+    xs = (perm % w).astype(jnp.float32)
+    ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
+
+    tables = _table_args(ft)
+    specs = dict(_TABLE_SPECS)
+    if fts_p is not None and not shadow_aliases:
+        tables = dict(tables, **{
+            "s_" + k: v for k, v in _table_args(fts_p).items()
+        })
+        specs = dict(specs, **{
+            "s_" + k: v for k, v in _TABLE_SPECS.items()
+        })
+
+    ft_static = (ft.geo.tri_chunk, ft.geo.n_sub, ft.n_meshes,
+                 ft.any_clipped, ft.t_total)
+    fts_static = None
+    if fts_p is not None and not shadow_aliases:
+        fts_static = (fts_p.geo.tri_chunk, fts_p.geo.n_sub,
+                      fts_p.n_meshes, fts_p.any_clipped, fts_p.t_total)
+    has_shadow = fts_p is not None
+
+    def local(scene0, tables, xs_l, ys_l):
+        tc, ns, nm, clip, tt = ft_static
+        ft_l = FusedTables(
+            IntersectTables(tc, ns, None, tables["tri"], tables["cbox"],
+                            tables["sbox"]),
+            tables["idmap"], nm, clip, tt,
+        )
+        if not has_shadow:
+            fts_l = None
+        elif shadow_aliases:
+            fts_l = ft_l
+        else:
+            stc, sns, snm, sclip, stt = fts_static
+            fts_l = FusedTables(
+                IntersectTables(stc, sns, None, tables["s_tri"],
+                                tables["s_cbox"], tables["s_sbox"]),
+                tables["s_idmap"], snm, sclip, stt,
+            )
+        s = dataclasses.replace(
+            scene0, fused_itables=ft_l, fused_shadow_itables=fts_l
+        )
+        s = derive_mesh_tables(s)
+        rd = pixel_dirs(s, xs_l, ys_l, 1.0, 1.0)
+        ro = jnp.broadcast_to(s.cam_pos, rd.shape)
+        nloc = xs_l.shape[0]
+        accum3, stats = integrate(
+            s, ro, rd, jnp.arange(nloc, dtype=jnp.int32),
+            jnp.ones((nloc,), jnp.float32), n_pixels=nloc,
+            ray_block=ray_block, out_slots=not st.any_bouncing,
+        )
+        # All stats leaves are 'geo'-unvarying by here (the fused
+        # combines psum the per-shard counters over 'geo' already);
+        # one psum over the ray shards finishes the totals.
+        stats = {k: jax.lax.psum(v, "rays") for k, v in stats.items()}
+        return accum3, stats
+
+    # check_vma=False: the interpret-mode Pallas lowering (the CPU test
+    # path) trips an internal lowering-cache KeyError under a 2-axis
+    # manual mesh with vma tracking on (jax 0.9); this wrapper is
+    # forward-only, every cross-shard combine is explicit (pmin/psum in
+    # the integrator's fused branches), and the equality test pins the
+    # result, so the static vma check buys nothing here.
+    accum3, stats = _shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), specs, P("rays"), P("rays")),
+        out_specs=(P(None, "rays"), P()),
+        check_vma=False,
+    )(scene0, tables, xs, ys)
+
+    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
+    frame3 = flat[:, :r].reshape(3, h, w)
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    frame3 = frame3.at[:, :, w - 1].set(0.0)
+    return frame3, stats

@@ -267,7 +267,9 @@ def trace_closest(scene, ro3, rd3, *, t_limit=None,
     sg = jax.lax.stop_gradient
     use_pallas, pallas_interp = _pallas_backend(settings)
     ft = getattr(scene, "fused_itables", None)
-    if ft is not None and use_pallas and st.n_meshes >= 2:
+    if ft is not None and use_pallas and (
+        st.n_meshes >= 2 or settings.geo_shard_axis is not None
+    ):
         # Fused multi-mesh oracle: ONE kernel dispatch (and one shared
         # tile pre-cull) for every mesh in the scene — the reference's
         # per-object loop (scene.cpp:724-756) costs nothing per extra
@@ -286,6 +288,30 @@ def trace_closest(scene, ro3, rd3, *, t_limit=None,
             collect_stats=settings.collect_statistics,
             interpret=pallas_interp,
         )
+        if settings.geo_shard_axis is not None:
+            # Geometry sharding (SURVEY 5.8 stretch): each device
+            # intersected the rays against ITS table shard; combine
+            # per-ray winners across the geo axis. idmap values are
+            # GLOBAL (mesh sub / vgeoT column), so only the (t, mid,
+            # vid) triple needs reducing: argmin over the gathered t
+            # with first-device-wins ties (device order = global super
+            # order — the same degenerate-overlap caveat as in-kernel
+            # chunk-order ties).
+            ax = settings.geo_shard_axis
+            tmin = jax.lax.pmin(t_d, ax)
+            rank = jax.lax.axis_index(ax)
+            is_win = t_d == tmin
+            win_rank = jax.lax.pmin(
+                jnp.where(is_win, rank, jnp.int32(2**30)), ax
+            )
+            sel = is_win & (rank == win_rank)
+            mid = jax.lax.psum(jnp.where(sel, mid, 0), ax)
+            vid = jax.lax.psum(jnp.where(sel, vid, 0), ax)
+            # Miss lanes: t = FLT_MAX on every shard -> device 0 wins
+            # -> mid = -1, vid = 0, exactly the unsharded miss values.
+            # Counters: each shard tested its own chunks; totals sum.
+            bt = jax.lax.psum(bt, ax)
+            tt = jax.lax.psum(tt, ax)
         del t_d  # the oracle's t is discrete; t re-evaluates below
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
@@ -447,6 +473,13 @@ def trace_occlusion(scene, ro3, rd3, dist, *, ray_block: int | None = None):
             collect_stats=settings.collect_statistics,
             interpret=pallas_interp,
         )
+        if settings.geo_shard_axis is not None:
+            # Geometry sharding: a ray is occluded if ANY device's
+            # table shard occludes it; counters sum across shards.
+            ax = settings.geo_shard_axis
+            occ_m = jax.lax.psum(occ_m.astype(jnp.int32), ax) > 0
+            bt = jax.lax.psum(bt, ax)
+            tt = jax.lax.psum(tt, ax)
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
         occluded = occluded | occ_m

@@ -34,19 +34,26 @@ INNER = 4096                      # FMA chain length per element
 GRID = 64                         # independent grid steps
 
 
+N_CHAINS = 6  # independent accumulator chains per element (ILP)
+
+
 def _fma_kernel(x_ref, o_ref):
     x = x_ref[...]
     a = x * 1.000001 + 0.3
     b = x * 0.999999 - 0.3
+    accs = tuple(x + 0.01 * k for k in range(N_CHAINS))
 
-    def body(_, x):
-        # Two dependent FMAs per iteration on distinct operands: deep
-        # enough to hide loop overhead, dependent enough that the
-        # compiler cannot algebraically collapse the chain.
-        return x * a + b
+    def body(_, accs):
+        # N_CHAINS independent dependent-FMA chains per element: enough
+        # ILP to fill the VPU pipeline, data-dependent enough that the
+        # compiler cannot algebraically collapse any chain.
+        return tuple(acc * a + b for acc in accs)
 
-    x = jax.lax.fori_loop(0, INNER, body, x)
-    o_ref[...] = x
+    accs = jax.lax.fori_loop(0, INNER, body, accs)
+    out = accs[0]
+    for acc in accs[1:]:
+        out = out + acc
+    o_ref[...] = out
 
 
 @jax.jit
@@ -62,18 +69,26 @@ def _fma_bench(x):
     )(x)
 
 
+def _sync(x) -> float:
+    """Force REAL completion: over the axon tunnel block_until_ready
+    can return before the device work ran (async queueing — see the
+    verify skill's timing gotcha), but a device->host fetch of a value
+    derived from the result cannot."""
+    return float(jnp.sum(x))
+
+
 def vpu_flops(reps: int = 5) -> float:
     x = jnp.linspace(0.0, 1.0, ROWS * LANES, dtype=jnp.float32).reshape(
         ROWS, LANES
     )
     out = _fma_bench(x)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = _fma_bench(x)
-    jax.block_until_ready(out)
+        out = _fma_bench(out)  # dependent chain across reps
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
-    flops = 2.0 * ROWS * LANES * INNER * GRID  # FMA = 2 flops
+    flops = 2.0 * N_CHAINS * ROWS * LANES * INNER * GRID  # FMA = 2 flops
     return flops / dt
 
 
@@ -86,11 +101,11 @@ def hbm_bandwidth(reps: int = 5, mb: int = 512) -> float:
         return x + 1.0  # one read + one write per element
 
     out = copy(x)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = copy(out)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
     return 2.0 * n * 4 / dt
 
