@@ -208,6 +208,15 @@ class SceneData:
     # they alias fused_itables when no mesh is transparent.
     fused_itables: Optional[object] = None
     fused_shadow_itables: Optional[object] = None
+    # Shading-side geometry shard (parallel.geoshard shade_sharded):
+    # the concatenated global (30, T_pad) vgeoT table physically
+    # sharded column-wise over the 'geo' mesh axis. When set, the
+    # fused trace gathers surface rows from the LOCAL column range and
+    # psums the masked rows across 'geo' instead of reading a
+    # replicated per-mesh vgeoT — each device then holds only 1/G of
+    # the per-triangle shading data (beyond-HBM scenes). None outside
+    # render_scene_geo_sharded(shade_sharded=True).
+    vgeoT_sharded: Optional[jnp.ndarray] = None
     static: SceneStatic = dataclasses.field(metadata=dict(static=True), default=None)
 
 

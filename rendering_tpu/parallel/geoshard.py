@@ -21,12 +21,15 @@ themselves across a second mesh axis:
 * idmap values are GLOBAL (mesh sub index / vgeoT column), so a shard-
   local hit needs no id rebasing after the combine.
 
-Scope and honesty: this shards the INTERSECTION tables (16 f32 rows
-per triangle + chunk boxes — the dominant per-triangle footprint along
-with vgeoT). The shading-side vgeoT gather still reads a replicated
-(30, T) table; sharding that too requires a cross-device gather of
-winner rows (all_to_all), the noted next step if scenes ever outgrow
-HBM on the shading side as well.
+Scope: this shards the INTERSECTION tables (16 f32 rows per triangle
++ chunk boxes) always, and with shade_sharded=True ALSO the
+shading-side (30, T) vgeoT table — column-wise over 'geo', with the
+winner-row gather done locally per shard and combined by one masked
+psum (render.integrator, SceneData.vgeoT_sharded). The replicated
+per-mesh geometry arrays (v/n/uv/tangents/vgeoT/BVH) are stripped to
+zero-size in that mode, so each device holds only 1/G of ALL
+per-triangle data — intersection and shading — plus the (small)
+replicated maps/lights/materials.
 
 Scenes must be built with settings.geo_shard_axis="geo" (the combine
 collectives are traced into the bounce loop) and can then ONLY render
@@ -93,6 +96,36 @@ def pad_fused_for_shards(ft: FusedTables, g: int) -> FusedTables:
     return FusedTables(geo, idmap, ft.n_meshes, ft.any_clipped, ft.t_total)
 
 
+def pad_vgeo_for_shards(vgeo, g: int):
+    """Pad the global (30, T) vgeoT column count to a multiple of g so
+    P(None, 'geo') shards whole columns. Pad columns are zeros — no
+    winner vid ever points at them (idmap only holds real columns)."""
+    t = vgeo.shape[1]
+    pad = (-t) % g
+    if pad == 0:
+        return vgeo
+    return jnp.concatenate(
+        [vgeo, jnp.zeros((vgeo.shape[0], pad), jnp.float32)], axis=1
+    )
+
+
+def _strip_mesh_heavy(m):
+    """Zero-size every per-triangle array of a MeshData so the
+    replicated scene carries no O(T) payload — the fused trace reads
+    only the sharded chunk tables and (shade_sharded) the sharded
+    vgeoT; shading reads hit.geo and the (kept) map tables."""
+    z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+    zi = lambda *s: jnp.zeros(s, jnp.int32)  # noqa: E731
+    return dataclasses.replace(
+        m, v=z(0, 3, 3), n=z(0, 3, 3), uv=z(0, 3, 2), tangent=z(0, 3),
+        bitangent=z(0, 3), vgeoT=z(30, 0), reach_lo=z(0, 3),
+        reach_hi=z(0, 3), node_min=z(0, 3), node_max=z(0, 3),
+        skip=zi(0), leaf_start=zi(0), leaf_count=zi(0),
+        real_flag=zi(0), leaf_tris=zi(0), morton_perm=None,
+        itables=None, itables_anyhit=None,
+    )
+
+
 def _table_args(ft: FusedTables):
     return {"tri": ft.geo.tri, "cbox": ft.geo.cbox, "sbox": ft.geo.sbox,
             "idmap": ft.idmap}
@@ -107,12 +140,18 @@ _TABLE_SPECS = {
 
 
 def render_scene_geo_sharded(scene, mesh: Mesh,
-                             ray_block: int = DEFAULT_RAY_BLOCK):
+                             ray_block: int = DEFAULT_RAY_BLOCK,
+                             shade_sharded: bool = False):
     """Primary-pass render with rays sharded over 'rays' and the fused
     geometry tables sharded over 'geo'. Returns (frame3 (3, H, W),
     stats) matching render_scene's primary pass u8-exactly (pinned by
     tests/test_geoshard.py). The scene must be built with
-    settings.geo_shard_axis == 'geo' and enable_ssaa False."""
+    settings.geo_shard_axis == 'geo' and enable_ssaa False.
+
+    shade_sharded=True additionally shards the (30, T) shading table
+    column-wise over 'geo' and strips every replicated per-triangle
+    array from the scene, so NOTHING O(T) is replicated — the full
+    beyond-HBM mode. Output is identical (u8-exact, pinned)."""
     from rendering_tpu.render.pipeline import derive_mesh_tables
 
     st = scene.static
@@ -136,6 +175,15 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
     scene0 = dataclasses.replace(
         scene, fused_itables=None, fused_shadow_itables=None
     )
+    vgeo_p = None
+    if shade_sharded:
+        vgeo_p = pad_vgeo_for_shards(
+            jnp.concatenate([m.vgeoT for m in scene.meshes], axis=1), g
+        )
+        scene0 = dataclasses.replace(
+            scene0, meshes=tuple(_strip_mesh_heavy(m)
+                                 for m in scene0.meshes)
+        )
 
     r = w * h
     rp, perm = _round_robin_layout(r, ndev_r)
@@ -151,6 +199,9 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
         specs = dict(specs, **{
             "s_" + k: v for k, v in _TABLE_SPECS.items()
         })
+    if vgeo_p is not None:
+        tables["vgeo"] = vgeo_p
+        specs["vgeo"] = P(None, "geo")
 
     ft_static = (ft.geo.tri_chunk, ft.geo.n_sub, ft.n_meshes,
                  ft.any_clipped, ft.t_total)
@@ -179,7 +230,8 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
                 tables["s_idmap"], snm, sclip, stt,
             )
         s = dataclasses.replace(
-            scene0, fused_itables=ft_l, fused_shadow_itables=fts_l
+            scene0, fused_itables=ft_l, fused_shadow_itables=fts_l,
+            vgeoT_sharded=tables.get("vgeo"),
         )
         s = derive_mesh_tables(s)
         rd = pixel_dirs(s, xs_l, ys_l, 1.0, 1.0)

@@ -315,13 +315,30 @@ def trace_closest(scene, ro3, rd3, *, t_limit=None,
         del t_d  # the oracle's t is discrete; t re-evaluates below
         stats["accel_struct_tests"] = stats["accel_struct_tests"] + bt
         stats["ray_tri_tests"] = stats["ray_tri_tests"] + tt
-        # In-graph concatenation keeps gradients flowing to every
-        # mesh's vertex arrays (concatenate is differentiable; XLA
-        # hoists the loop-invariant concat out of the bounce scan).
-        vgeoT_all = jnp.concatenate(
-            [m.vgeoT for m in scene.meshes], axis=1
-        )  # (30, T_total)
-        g = vgeoT_all[:, vid]  # (30, Q); vid is 0-clamped on miss
+        vsh = getattr(scene, "vgeoT_sharded", None)
+        if settings.geo_shard_axis is not None and vsh is not None:
+            # Shading-side geometry sharding: each device holds a
+            # contiguous COLUMN range of the global vgeoT (its local
+            # block under shard_map). Gather the winner rows from the
+            # local range (out-of-range lanes read a clamped column
+            # and are masked to zero) and psum across 'geo' — exactly
+            # one shard is in-range per lane, so the sum IS the row.
+            # Miss lanes (vid = 0) land in shard 0's range and yield
+            # the same column-0 rows the replicated gather produces.
+            ax = settings.geo_shard_axis
+            local_cols = vsh.shape[1]
+            loc = vid - jax.lax.axis_index(ax) * local_cols
+            inb = (loc >= 0) & (loc < local_cols)
+            g_loc = vsh[:, jnp.clip(loc, 0, local_cols - 1)]
+            g = jax.lax.psum(jnp.where(inb, g_loc, 0.0), ax)  # (30, Q)
+        else:
+            # In-graph concatenation keeps gradients flowing to every
+            # mesh's vertex arrays (concatenate is differentiable; XLA
+            # hoists the loop-invariant concat out of the bounce scan).
+            vgeoT_all = jnp.concatenate(
+                [m.vgeoT for m in scene.meshes], axis=1
+            )  # (30, T_total)
+            g = vgeoT_all[:, vid]  # (30, Q); vid is 0-clamped on miss
         t_r, u_r, v_r, _ = ray_triangle_r(
             ro3, rd3, g[0:3], g[3:6], g[6:9], settings.use_backface_culling
         )

@@ -89,6 +89,40 @@ def test_geo_sharded_matches_replicated(shape):
     assert frac < 0.03, frac
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_shade_sharded_matches(shape):
+    """FULL geometry sharding (shade_sharded=True): the (30, T) vgeoT
+    shading table is column-sharded over 'geo' and every replicated
+    per-triangle array is stripped to zero size; the masked
+    local-gather + psum winner-row combine must reproduce the
+    table-sharded render u8-exactly — isolating exactly the
+    shading-side shard."""
+    n_rays, n_geo = shape
+    mesh = make_geo_mesh(jax.devices()[: n_rays * n_geo], n_geo=n_geo)
+    _, sharded = _scenes(n_meshes=3, tris_per_mesh=90)
+
+    f0, _ = render_scene_geo_sharded(sharded, mesh)
+    f1, stats = render_scene_geo_sharded(sharded, mesh,
+                                         shade_sharded=True)
+    a = quantize_reference(np.asarray(f0).transpose(1, 2, 0))
+    b = quantize_reference(np.asarray(f1).transpose(1, 2, 0))
+    np.testing.assert_array_equal(a, b)
+    assert float(stats["rays_casted"]) > 0
+
+
+def test_pad_vgeo_for_shards():
+    import jax.numpy as jnp
+
+    from rendering_tpu.parallel.geoshard import pad_vgeo_for_shards
+
+    v = jnp.arange(30 * 7, dtype=jnp.float32).reshape(30, 7)
+    for g in (2, 3, 4, 7):
+        p = pad_vgeo_for_shards(v, g)
+        assert p.shape[1] % g == 0 and p.shape[1] >= 7
+        np.testing.assert_array_equal(np.asarray(p[:, :7]), np.asarray(v))
+        assert not np.asarray(p[:, 7:]).any()
+
+
 def test_pad_fused_for_shards():
     _, sharded = _scenes(n_meshes=2, tris_per_mesh=70)
     ft = sharded.fused_itables
