@@ -131,6 +131,72 @@ def _displace_noise(p: np.ndarray) -> np.ndarray:
     return acc / wsum
 
 
+def _displace_noise3(p: np.ndarray) -> np.ndarray:
+    """VECTOR position-noise in [-1, 1]^3 of world position (..., 3):
+    three phase-shifted copies of _displace_noise. A pure function of
+    position, unlike displacement along interpolated shading normals —
+    two soup triangles meeting at a crease carry different corner
+    normals at the shared position, so a normal-directed displacement
+    would tear every crease open; a position-pure vector field cannot
+    (coincident vertices move identically, wherever they came from)."""
+    return np.stack(
+        [
+            _displace_noise(p),
+            _displace_noise(p + np.asarray([11.3, -7.1, 5.9])),
+            _displace_noise(p + np.asarray([-3.7, 13.1, -9.3])),
+        ],
+        axis=-1,
+    )
+
+
+def _split_bary(level: int, mask) -> np.ndarray:
+    """_subdiv_bary(level) with GREEN closure: parent edges marked in
+    `mask` (edge k = the edge opposite parent corner k, where weight k
+    vanishes) face a level+1 neighbor, so every subtriangle edge lying
+    on a marked parent edge is bisected at its midpoint — the coarse
+    side then carries exactly the finer side's 2**(level+1) boundary
+    nodes and the displaced surface stays watertight (no T-junction
+    cracks). Returns (S, 3 corners, 3 weights)."""
+    base = _subdiv_bary(level)
+    if not any(mask):
+        return base
+
+    def on_marked(b0, b1):
+        # local edge (b0, b1) lies on marked parent edge k iff the
+        # weight of corner k vanishes at both endpoints
+        return any(mask[k] and b0[k] == 0.0 and b1[k] == 0.0
+                   for k in range(3))
+
+    out = []
+    for tri in base:  # (3 corners, 3 weights)
+        marked = [
+            i for i in range(3)
+            if on_marked(tri[i], tri[(i + 1) % 3])
+        ]
+        if not marked:
+            out.append(tri)
+            continue
+        if len(marked) == 3:  # level 0 corner case: full 4-way split
+            c0, c1, c2 = tri
+            m01, m12, m20 = 0.5 * (c0 + c1), 0.5 * (c1 + c2), 0.5 * (c2 + c0)
+            out += [np.stack(t) for t in
+                    ((c0, m01, m20), (m01, c1, m12),
+                     (m20, m12, c2), (m01, m12, m20))]
+            continue
+        # rotate local indices so the marked edges are e0 (and e1)
+        rot = {(0,): 0, (1,): 1, (2,): 2,
+               (0, 1): 0, (1, 2): 1, (0, 2): 2}[tuple(marked)]
+        c0, c1, c2 = tri[rot], tri[(rot + 1) % 3], tri[(rot + 2) % 3]
+        m01 = 0.5 * (c0 + c1)
+        if len(marked) == 1:
+            out += [np.stack(t) for t in ((c0, m01, c2), (m01, c1, c2))]
+        else:  # marked e0 and e1 (sharing corner c1)
+            m12 = 0.5 * (c1 + c2)
+            out += [np.stack(t) for t in
+                    ((c0, m01, c2), (m01, c1, m12), (m01, m12, c2))]
+    return np.stack(out)
+
+
 def densify_mesh(mesh: MeshArrays, target_tris: int,
                  displace_frac: float = 0.004) -> MeshArrays:
     """Subdivide + displace a real mesh to ~target_tris triangles
@@ -140,17 +206,22 @@ def densify_mesh(mesh: MeshArrays, target_tris: int,
     Midpoint 4-way subdivision preserves the surface EXACTLY (thin
     features, self-occlusion and silhouettes are the loaded asset's);
     per-triangle levels are area-prioritized so big flat faces carry
-    the extra resolution and slivers are not over-split. Vertices then
-    displace along their interpolated smooth normals by a smooth
-    position-noise of amplitude displace_frac * bbox diagonal — real
-    high-frequency relief so chunk AABBs cannot collapse onto an
-    idealized smooth surface. Root bounds expand to contain the
-    displaced mesh (clipped_by_root stays False, like the procedural
-    flagship)."""
+    the extra resolution and slivers are not over-split, and
+    level-(base) triangles adjacent to level-(base+1) ones get GREEN
+    bisections along the shared edges (_split_bary) so no T-junction
+    survives. Vertices then displace by a smooth VECTOR position-noise
+    of amplitude displace_frac * bbox diagonal — real high-frequency
+    relief so chunk AABBs cannot collapse onto an idealized smooth
+    surface, and pure-of-position so coincident soup vertices move
+    identically (watertight input stays watertight; shading normals
+    stay the asset's smooth normals). Root bounds expand to contain
+    the displaced mesh (clipped_by_root stays False, like the
+    procedural flagship)."""
     t0 = int(mesh.v.shape[0])
     if t0 == 0 or target_tris <= t0:
         return mesh
-    v = np.asarray(mesh.v, np.float64)
+    v32 = np.asarray(mesh.v, np.float32)
+    v = v32.astype(np.float64)
     n = np.asarray(mesh.n, np.float64)
     uv = np.asarray(mesh.uv, np.float64)
 
@@ -169,10 +240,37 @@ def densify_mesh(mesh: MeshArrays, target_tris: int,
     levels = np.full((t0,), base, np.int32)
     levels[order[:promote_n]] = base + 1
 
+    # Edge adjacency over EXACT f32 corner positions (the OBJ loader
+    # emits soup from indexed vertices, so shared corners are
+    # bit-identical): which of each coarse triangle's 3 edges face a
+    # promoted neighbor. mask[k] = edge opposite corner k.
+    corner_keys = [
+        [v32[t, c].tobytes() for c in range(3)] for t in range(t0)
+    ]
+    edge_tris: dict = {}
+    for t in range(t0):
+        for k in range(3):
+            a, b = corner_keys[t][(k + 1) % 3], corner_keys[t][(k + 2) % 3]
+            edge_tris.setdefault((min(a, b), max(a, b)), []).append(t)
+    masks = np.zeros((t0, 3), bool)
+    if 0 < promote_n < t0:
+        for t in range(t0):
+            if levels[t] > base:
+                continue
+            for k in range(3):
+                a, b = (corner_keys[t][(k + 1) % 3],
+                        corner_keys[t][(k + 2) % 3])
+                masks[t, k] = any(
+                    levels[j] > base
+                    for j in edge_tris[(min(a, b), max(a, b))] if j != t
+                )
+
     outs_v, outs_n, outs_uv, outs_t, outs_b = [], [], [], [], []
-    for lv in np.unique(levels):
-        sel = levels == lv
-        bary = _subdiv_bary(int(lv))  # (S, 3, 3)
+    group_key = [(int(levels[t]), tuple(masks[t])) for t in range(t0)]
+    for key in sorted(set(group_key)):
+        lv, mask = key
+        sel = np.asarray([g == key for g in group_key])
+        bary = _split_bary(lv, mask)  # (S, 3, 3)
         # (T, S, 3c, 3d) = bary (S, 3c, 3w) x v[sel] (T, 3w, 3d)
         sub_v = np.einsum("scw,twd->tscd", bary, v[sel])
         sub_n = np.einsum("scw,twd->tscd", bary, n[sel])
@@ -187,14 +285,12 @@ def densify_mesh(mesh: MeshArrays, target_tris: int,
     n_out = np.concatenate(outs_n)
     uv_out = np.concatenate(outs_uv)
 
-    # Displace along interpolated smooth normals (normalized; degenerate
-    # normals displace nowhere).
+    # Displace by the vector position-noise (pure function of the
+    # undisplaced position: watertightness-preserving, crease-safe).
     lo = v.reshape(-1, 3).min(axis=0)
     hi = v.reshape(-1, 3).max(axis=0)
     amp = displace_frac * float(np.linalg.norm(hi - lo))
-    nl = np.linalg.norm(n_out, axis=-1, keepdims=True)
-    n_hat = n_out / np.maximum(nl, 1e-20)
-    v_out = v_out + n_hat * (amp * _displace_noise(v_out))[..., None]
+    v_out = v_out + amp * _displace_noise3(v_out)
 
     v_out = v_out.astype(np.float32)
     dlo = v_out.reshape(-1, 3).min(axis=0) - np.float32(1e-3)

@@ -247,6 +247,16 @@ def build_scene(sd: SceneDef) -> SceneData:
     meshes, mesh_statics = [], []
     mesh_host_views, mesh_obj_idx = [], []
 
+    # Multi-mesh scenes never read the per-mesh kernel tables: with
+    # n_meshes >= 2 (a static) the pallas path always takes the FUSED
+    # branch (integrator.trace_closest/_occlusion) and the non-pallas
+    # fallbacks use the BVH/dense arrays. Skip baking them — otherwise
+    # every multi-mesh scene holds its ~16 f32/triangle tables twice
+    # (per-mesh + fused) in device memory for life. Single-mesh scenes
+    # keep theirs even under geometry sharding (post-build settings
+    # surgery may drop the geo axis and take the per-mesh path).
+    will_fuse = sum(1 for o in sd.objects if o.kind == "mesh") >= 2
+
     for o in sd.objects:
         mat_types.append(_MAT_IDS[o.material])
         colors.append(o.color)
@@ -358,19 +368,20 @@ def build_scene(sd: SceneDef) -> SceneData:
                 reach_hi=bvh.reach_hi,
                 morton_perm=None,  # arrays already Morton-ordered
             )
-            meshes[-1] = dataclasses.replace(
-                meshes[-1],
-                itables=build_intersect_tables(
-                    host_mesh, tri_chunk=default_tri_chunk(t_count)
-                ),
-                itables_anyhit=(
-                    build_intersect_tables(
-                        host_mesh, tri_chunk=st.anyhit_tri_chunk,
-                        n_sub=st.anyhit_n_sub or None,
-                    )
-                    if st.anyhit_tri_chunk else None
-                ),
-            )
+            if not will_fuse:
+                meshes[-1] = dataclasses.replace(
+                    meshes[-1],
+                    itables=build_intersect_tables(
+                        host_mesh, tri_chunk=default_tri_chunk(t_count)
+                    ),
+                    itables_anyhit=(
+                        build_intersect_tables(
+                            host_mesh, tri_chunk=st.anyhit_tri_chunk,
+                            n_sub=st.anyhit_n_sub or None,
+                        )
+                        if st.anyhit_tri_chunk else None
+                    ),
+                )
             mesh_host_views.append(host_mesh)
             mesh_obj_idx.append(len(obj_kinds) - 1)
             mesh_statics.append(

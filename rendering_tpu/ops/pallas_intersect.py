@@ -246,7 +246,13 @@ def _cull_and_intersect(
         t2 = (cboxs_ref[:, 3 + c : 4 + c] - ro_c) * inv_c
         ctmin = jnp.maximum(ctmin, jnp.minimum(t1, t2))
         ctmax = jnp.minimum(ctmax, jnp.maximum(t1, t2))
-    live0 = ~((ctmin > ctmax) | (ctmax < 0))
+    # Padded cull chunks hold INVERTED boxes [+FMAX, -FMAX]; the
+    # per-axis min/max swap above would turn them into an
+    # everything-box (always live), so they need an explicit validity
+    # test. lo.x > hi.x only holds for pads (real boxes have lo <= hi;
+    # a NaN compares False, keeping the chunk conservatively live).
+    invalid = cboxs_ref[:, 0:1] > cboxs_ref[:, 3:4]    # (n_sub, 1)
+    live0 = ~((ctmin > ctmax) | (ctmax < 0) | invalid)
     # The counter read-modify-writes serialize the scalar pipeline
     # (~3 us/step measured), so they compile in only when the caller
     # collects statistics — exactly the reference's collectStatistics
@@ -559,6 +565,11 @@ def _tile_live_exact(ro_t, inv_t, t0_t, cbox):
             # chunk straddles their origin (there ctmin < -1, so the
             # ctmin >= t0 clause alone would keep it live).
             | (t0_b[:, None] < 0)
+            # Padded chunks hold INVERTED boxes [+FMAX, -FMAX]; the
+            # per-axis min/max swap turns them into an everything-box,
+            # so they need an explicit validity test (lo.x > hi.x only
+            # holds for pads; NaN compares False -> conservative).
+            | (cbox[None, :, 0] > cbox[None, :, 3])
         )
         return jnp.any(live, axis=0)  # (C,)
 

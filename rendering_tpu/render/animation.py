@@ -169,7 +169,9 @@ def render_frames_pipelined(scene, cameras, *, mesh=None,
         # Drain before dispatching so at most `depth` frames are in
         # flight (dispatch-then-pop held depth+1 frames on device,
         # which matters for device-memory budgeting at large frames).
-        if len(pending) >= depth:
+        # depth <= 1 degenerates to fully synchronous (the deque never
+        # holds a frame across iterations; popleft only when nonempty).
+        if pending and len(pending) >= depth:
             yield finish(*pending.popleft())
         s = set_camera(scene, pos, rot_deg=rot)
         pending.append((s, *dispatch(s)))

@@ -134,6 +134,15 @@ def test_render_frames_pipelined_matches():
     for a, b in zip(seq_u8, pip_sh):
         np.testing.assert_array_equal(a, b)
 
+    # depth<=1 degenerates to fully synchronous — must not crash on the
+    # first frame (the drain-before-dispatch check pops an empty deque
+    # unless guarded) and must produce identical frames.
+    for depth in (0, 1):
+        pip_d = [f for f, _ in
+                 render_frames_pipelined(scene, cams, depth=depth)]
+        for a, b in zip(seq, pip_d):
+            np.testing.assert_array_equal(a, b)
+
 
 @pytest.mark.slow
 def test_render_frames_pipelined_escalates_ssaa_overflow():

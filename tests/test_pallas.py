@@ -198,6 +198,54 @@ def test_pallas_honest_stats():
     assert int(tt0) == 0 and int(bt0) == 0
 
 
+def test_inverted_pad_boxes_are_culled():
+    """Padded cull chunks / supers carry INVERTED boxes [+FMAX, -FMAX].
+    The per-axis min/max swap of the slab test would turn an inverted
+    box into an everything-box (always live), so both cull sites carry
+    an explicit validity test — without it, a small mesh fused at a
+    forced n_sub pays n_sub-minus-real zero-triangle Moller-Trumbore
+    batches per live super per tile (pure wasted work), and geo-shard
+    padding supers add dead grid steps to every tile."""
+    from rendering_tpu.ops.pallas_intersect import (
+        _FMAX, _tile_live_exact, build_intersect_tables,
+    )
+
+    # 1. Pre-cull: one real box around the ray path, one inverted box.
+    cbox = jnp.asarray(
+        [[-1, -1, -5, 1, 1, -3, 0, 0],
+         [_FMAX, _FMAX, _FMAX, -_FMAX, -_FMAX, -_FMAX, 0, 0]],
+        jnp.float32,
+    )
+    ro_t = jnp.zeros((1, 3, 4), jnp.float32)
+    rd = jnp.tile(jnp.asarray([[0.0], [0.0], [-1.0]], jnp.float32), (1, 4))
+    inv_t = (1.0 / rd)[None]
+    t0_t = jnp.full((1, 4), _FMAX, jnp.float32)
+    live = np.asarray(_tile_live_exact(ro_t, inv_t, t0_t, cbox))
+    assert live[0, 0] and not live[0, 1], live
+
+    # 2. In-kernel cull, via the honest stats counters: 20 tris at
+    # tri_chunk=16 with a forced n_sub=8 super -> 2 real chunks + 6
+    # fully-padded inverted chunks. tri_tests must count the real
+    # chunks only (<= R * 2 * tc), not all 8 (= R * 8 * tc).
+    mesh_arrays = procedural_mesh(20, pos=(0, 0, -3), size=(2, 2, 2))
+    sd = SceneDef(settings=RenderSettings(width=8, height=8))
+    obj = ObjectDef("mesh", pos=(0, 0, -3), size=(2, 2, 2), color=(1, 1, 1))
+    obj.mesh = mesh_arrays
+    sd.objects = [obj]
+    scene = build_scene(sd)
+    mesh = scene.meshes[0]
+    tbl = build_intersect_tables(mesh, tri_chunk=16, n_sub=8)
+    assert tbl.cbox.shape[0] == 8 and tbl.sbox.shape[0] == 1
+    R = 128
+    ro, rd = _rays(R, aim=(0, 0, -3), seed=13)
+    t1, tri1, _, _ = bruteforce_mesh(mesh, ro, rd, tri_chunk=16)
+    t2, tri2, bt, tt = bruteforce_mesh_pallas(
+        mesh, ro, rd, tables=tbl, interpret=True, collect_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(tri1), np.asarray(tri2))
+    assert 0 < int(tt) <= R * 2 * 16, int(tt)
+
+
 def test_ray_tile_validation():
     """Non-power-of-two ray tiles would silently skip the tail rays of
     every tile in the kernel's lane-slice loop — rejected loudly."""

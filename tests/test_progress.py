@@ -46,9 +46,9 @@ def test_progress_render_matches_and_prints(in_workspace):
     assert lines == ["33%", "67%", "100%"]
     # strip stats must cover the same primary rays as the one-shot
     assert aux["stats"]["rays_casted"] >= 64 * 48
+
+
 @pytest.mark.slow
-
-
 def test_progress_sharded_matches(in_workspace):
     """mesh= shards each strip over the 8 virtual devices
     (shard.render_strip_sharded); output and progress prints match the

@@ -1,26 +1,47 @@
-"""Post-change TPU validation (run from a workspace dir, see the
-verify skill): renders a set of golden scenes on the REAL chip via the
-CLI and applies the CI tolerance logic, then compiles/runs one
-collect_stats oracle call (the f32-SMEM stats variant is TPU-only
-Mosaic code that interpret-mode tests cannot cover).
+"""Post-change TPU validation: renders a set of golden scenes on the
+REAL chip via the CLI and applies the CI tolerance logic, then
+compiles/runs one collect_stats oracle call (the f32-SMEM stats
+variant is TPU-only Mosaic code that interpret-mode tests cannot
+cover) and the 1-device-mesh sharded lane.
 
-Usage:
-  mkdir -p /tmp/vws/input && cd /tmp/vws
-  ln -sfn /root/reference/input/objects input/objects
-  ln -sfn /root/reference/input/skybox  input/skybox
-  cp -r /root/repo/tests/assets/maps input/maps
-  cp /root/repo/tests/scenes/*.scene .
+Runnable from anywhere: it builds its own /tmp/vws workspace (scene
+files resolve assets relative to the cwd — the reference binary's
+contract) and chdirs into it.
+
   python /root/repo/tools/tpu_validate.py [scene ...]
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import sys
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
 import numpy as np  # noqa: E402
+
+
+def setup_workspace(ws: str = "/tmp/vws") -> None:
+    """Shared asset layout for the committed golden scenes (same shape
+    as tests/conftest.py::workspace)."""
+    inp = os.path.join(ws, "input")
+    os.makedirs(inp, exist_ok=True)
+    for name, src in (
+        ("objects", "/root/reference/input/objects"),
+        ("skybox", "/root/reference/input/skybox"),
+    ):
+        dst = os.path.join(inp, name)
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    maps = os.path.join(inp, "maps")
+    if not os.path.exists(maps):
+        shutil.copytree("/root/repo/tests/assets/maps", maps)
+    for f in os.listdir("/root/repo/tests/scenes"):
+        if f.endswith(".scene"):
+            shutil.copy(os.path.join("/root/repo/tests/scenes", f), ws)
+    os.chdir(ws)
 
 DEFAULT_SCENES = [
     "t01_simple_shapes",
@@ -133,6 +154,7 @@ def check_sharded_lane() -> bool:
 
 def main_() -> int:
     scenes = sys.argv[1:] or DEFAULT_SCENES
+    setup_workspace()
     ok = check_stats_kernel()
     ok = check_sharded_lane() and ok
     for s in scenes:
