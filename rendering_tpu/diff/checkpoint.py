@@ -27,7 +27,11 @@ def _flatten(tree, prefix, out):
 
 def save_checkpoint(path: str, step: int, params, opt_state,
                     frame: np.ndarray | None = None,
-                    tile_mask: np.ndarray | None = None) -> None:
+                    tile_mask: np.ndarray | None = None,
+                    meta: dict | None = None) -> None:
+    """meta: optional flat dict of scalar/array metadata saved
+    alongside (e.g. a scene fingerprint, accumulated stats counters);
+    read back with load_checkpoint_meta."""
     out: dict = {"step": np.asarray(step)}
     _flatten(params, "params", out)
     _flatten(opt_state, "opt", out)
@@ -35,9 +39,18 @@ def save_checkpoint(path: str, step: int, params, opt_state,
         out["frame"] = np.asarray(frame)
     if tile_mask is not None:
         out["tile_mask"] = np.asarray(tile_mask)
+    for k, v in (meta or {}).items():
+        out[f"meta__{k}"] = np.asarray(v)
     tmp = path + ".tmp"
     np.savez(tmp, **out)
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint_meta(path: str) -> dict:
+    """The meta dict saved with save_checkpoint (empty if none)."""
+    data = np.load(path, allow_pickle=False)
+    pre = "meta__"
+    return {k[len(pre):]: data[k] for k in data.files if k.startswith(pre)}
 
 
 def load_checkpoint(path: str, params_like, opt_state_like):

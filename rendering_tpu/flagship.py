@@ -431,6 +431,7 @@ def build_multimesh_scene(
     n_meshes: int = 16,
     tris_per_mesh: int | None = None,
     max_ray_depth: int = 10,
+    bake_per_mesh_tables: bool | None = None,
 ) -> SceneData:
     """N-mesh stress scene (VERDICT r3 #1: the per-mesh dispatch loop
     must not scale with mesh count): a grid of bunny instances
@@ -487,4 +488,4 @@ def build_multimesh_scene(
             )
         objects.append(obj)
     sd.objects = objects
-    return build_scene(sd)
+    return build_scene(sd, bake_per_mesh_tables=bake_per_mesh_tables)

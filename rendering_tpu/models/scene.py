@@ -236,7 +236,8 @@ def _packable_wh(o) -> tuple[int, int]:
     return (0, 0)
 
 
-def build_scene(sd: SceneDef) -> SceneData:
+def build_scene(sd: SceneDef, *,
+                bake_per_mesh_tables: bool | None = None) -> SceneData:
     st = sd.settings
     f32 = np.float32
 
@@ -255,7 +256,12 @@ def build_scene(sd: SceneDef) -> SceneData:
     # (per-mesh + fused) in device memory for life. Single-mesh scenes
     # keep theirs even under geometry sharding (post-build settings
     # surgery may drop the geo axis and take the per-mesh path).
-    will_fuse = sum(1 for o in sd.objects if o.kind == "mesh") >= 2
+    # bake_per_mesh_tables=True overrides the skip (the fused-vs-
+    # per-mesh A/B harness strips fused_itables post-build and drives
+    # the per-mesh loop directly).
+    auto_skip = sum(1 for o in sd.objects if o.kind == "mesh") >= 2
+    will_fuse = (auto_skip if bake_per_mesh_tables is None
+                 else not bake_per_mesh_tables)
 
     for o in sd.objects:
         mat_types.append(_MAT_IDS[o.material])

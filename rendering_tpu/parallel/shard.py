@@ -43,7 +43,7 @@ from rendering_tpu.render.integrator import (
     integrate,
     shade_normals,
 )
-from rendering_tpu.render.raygen import pixel_dirs
+from rendering_tpu.render.raygen import pixel_dirs, ssaa_subsample_rays
 
 try:
     from jax import shard_map as _shard_map  # jax >= 0.7 style
@@ -162,19 +162,7 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
     idx_c = jnp.minimum(idx, w * h - 1).astype(jnp.int32)
 
     def local(scene, idx_l, valid_l):
-        xs = (idx_l % w).astype(jnp.float32)
-        ys = (idx_l // w).astype(jnp.float32)
-        ros, rds, pixs, wts = [], [], [], []
-        for ox, oy in ((0.25, 0.25), (0.25, 0.75), (0.75, 0.25), (0.75, 0.75)):
-            rd = pixel_dirs(scene, xs, ys, ox + 0.5, oy + 0.5)
-            rds.append(rd)
-            ros.append(jnp.broadcast_to(scene.cam_pos, rd.shape))
-            pixs.append(idx_l)
-            wts.append(jnp.where(valid_l, 0.25, 0.0))
-        ro = jnp.concatenate(ros)
-        rd = jnp.concatenate(rds)
-        pixk = jnp.concatenate(pixs)
-        wt = jnp.concatenate(wts)
+        ro, rd, pixk, wt = ssaa_subsample_rays(scene, idx_l, valid_l, w)
         if st.settings.show_normals:
             colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
             accum3 = (
@@ -219,7 +207,7 @@ def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
     return frame3, n_masked, stats
 
 
-def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
+def render_strip_sharded(scene, *, y0, rows: int, mesh: Mesh,
                          ray_block: int = DEFAULT_RAY_BLOCK,
                          queue_headroom: int = 1):
     """Sharded analogue of pipeline._render_strip: integrate the primary
@@ -228,8 +216,9 @@ def render_strip_sharded(scene, *, y0: int, rows: int, mesh: Mesh,
     (3, rows*W) accumulator, psum'd stats) — the same contract as the
     single-device strip fn, so the progress / resumable strip loops
     swap it in unchanged, and the host pulls rows*W pixels per strip
-    instead of a full frame (jittable; y0/rows static, mesh
-    closure-bound)."""
+    instead of a full frame (jittable; rows static, y0 TRACED — it
+    only offsets the row indices, so full-height strips share one
+    compiled program; mesh closure-bound)."""
     from rendering_tpu.render.pipeline import derive_mesh_tables
 
     scene = derive_mesh_tables(scene)
@@ -365,35 +354,18 @@ def render_sharded(scene, mesh: Mesh | None = None,
     capacity on mask overflow, and the per-device transparent-queue
     headroom on path drops (sharding divides the queue by ndev, so an
     imbalanced glass region can overflow a device's share)."""
-    from rendering_tpu.render.pipeline import (
-        MAX_QUEUE_HEADROOM,
-        warn_dropped_paths,
-    )
+    from rendering_tpu.render.pipeline import escalating_render
 
     mesh = mesh or make_ray_mesh()
-    st = scene.static.settings
-    cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
-    ssaa_cap = None
-    headroom = 1
-    while True:
-        frame3, aux = _cached_sharded_fn(
+    frame3, aux = escalating_render(
+        lambda ssaa_cap, headroom: _cached_sharded_fn(
             mesh, ray_block, ssaa_cap, headroom, out_u8
-        )(scene)
-        redo = False
-        n_masked = int(aux["ssaa_masked"])
-        if st.enable_ssaa and not st.show_ac and n_masked > (ssaa_cap or cap):
-            ssaa_cap = min(
-                st.width * st.height,
-                1 << (max(n_masked, 2) - 1).bit_length(),
-            )
-            redo = True
-        if (float(aux["stats"].get("paths_dropped", 0.0)) > 0
-                and headroom < MAX_QUEUE_HEADROOM):
-            headroom *= 2
-            redo = True
-        if not redo:
-            break
-    warn_dropped_paths(aux["stats"])
+        )(scene),
+        scene.static.settings,
+        # _ssaa_sharded pads the refinement capacity up to a multiple
+        # of ndev; overflow is judged against what was actually refined.
+        cap_pad=mesh.devices.size,
+    )
     if out_u8:
         return np.asarray(frame3), aux  # already (H, W, 3) u8
     return np.asarray(frame3).transpose(1, 2, 0), aux

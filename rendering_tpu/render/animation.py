@@ -144,6 +144,14 @@ def render_frames_pipelined(scene, cameras, *, mesh=None,
 
     st = scene.static.settings
     cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
+    if mesh is not None:
+        # The sharded SSAA pass pads its refinement capacity up to a
+        # multiple of ndev; compare against what it actually refined
+        # (an unpadded compare would redo identical frames whenever
+        # n_masked lands inside the padding window).
+        from rendering_tpu.parallel.shard import _pad_to
+
+        cap = _pad_to(cap, mesh.devices.size)
 
     def finish(s, frame_dev, aux):
         # First host sync for this frame: read the escalation scalars.

@@ -36,7 +36,12 @@ from rendering_tpu.render.integrator import (
     integrate,
     shade_normals,
 )
-from rendering_tpu.render.raygen import pixel_dirs, primary_rays, tile_dims
+from rendering_tpu.render.raygen import (
+    pixel_dirs,
+    primary_rays,
+    ssaa_subsample_rays,
+    tile_dims,
+)
 
 
 def quantize_u8(frame3):
@@ -114,21 +119,7 @@ def _ssaa_pass(scene, frame3, *, capacity: int, ray_block=DEFAULT_RAY_BLOCK,
     (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=w * h)
     valid = idx < w * h
     idx_c = jnp.minimum(idx, w * h - 1).astype(jnp.int32)
-    xs = (idx_c % w).astype(jnp.float32)
-    ys = (idx_c // w).astype(jnp.float32)
-
-    ros, rds, pixs, wts = [], [], [], []
-    for ox, oy in ((0.25, 0.25), (0.25, 0.75), (0.75, 0.25), (0.75, 0.75)):
-        # +0.5 from the getPixels lambda (scene.cpp:517-521).
-        rd = pixel_dirs(scene, xs, ys, ox + 0.5, oy + 0.5)
-        rds.append(rd)
-        ros.append(jnp.broadcast_to(scene.cam_pos, rd.shape))
-        pixs.append(idx_c)
-        wts.append(jnp.where(valid, 0.25, 0.0))
-    ro = jnp.concatenate(ros)
-    rd = jnp.concatenate(rds)
-    pix = jnp.concatenate(pixs)
-    weight = jnp.concatenate(wts)
+    ro, rd, pix, weight = ssaa_subsample_rays(scene, idx_c, valid, w)
 
     if st.settings.show_normals:
         colors3 = shade_normals(scene, ro, rd, ray_block=ray_block)
@@ -313,18 +304,40 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK,
       MAX_QUEUE_HEADROOM (then the drop warning stands)."""
     import numpy as np
 
-    st = scene.static.settings
+    frame3, aux = escalating_render(
+        lambda ssaa_cap, headroom: render_scene(
+            scene, ray_block=ray_block, ssaa_capacity=ssaa_cap,
+            queue_headroom=headroom, out_u8=out_u8,
+        ),
+        scene.static.settings,
+    )
+    if out_u8:
+        frame = np.asarray(frame3)  # already (H, W, 3) u8
+    else:
+        frame = np.asarray(frame3).transpose(1, 2, 0)
+    return frame, aux
+
+
+def escalating_render(render_fn, st, *, cap_pad: int = 1):
+    """The SSAA-capacity / transparent-queue auto-escalation policy,
+    shared by every host-facing wrapper (render, render_sharded):
+    render_fn(ssaa_cap, headroom) -> (frame3, aux) is re-invoked with
+    the capacity raised to the measured mask size (next power of two)
+    on SSAA overflow and the queue headroom doubled on path drops, so
+    the output is exact regardless of the static queue sizes. cap_pad:
+    the sharded SSAA pass pads its capacity up to a multiple of ndev —
+    overflow is judged against what was actually refined, or the
+    padding window would trigger spurious identical redos. Emits the
+    drop warning on the final attempt's stats."""
     cap = max(1, int(st.width * st.height * st.ssaa_capacity_fraction))
     ssaa_cap = None
     headroom = 1
     while True:
-        frame3, aux = render_scene(
-            scene, ray_block=ray_block, ssaa_capacity=ssaa_cap,
-            queue_headroom=headroom, out_u8=out_u8,
-        )
+        frame3, aux = render_fn(ssaa_cap, headroom)
         redo = False
         n_masked = int(aux["ssaa_masked"])
-        if st.enable_ssaa and not st.show_ac and n_masked > (ssaa_cap or cap):
+        eff_cap = -(-(ssaa_cap or cap) // cap_pad) * cap_pad
+        if st.enable_ssaa and not st.show_ac and n_masked > eff_cap:
             ssaa_cap = min(
                 st.width * st.height,
                 1 << (max(n_masked, 2) - 1).bit_length(),
@@ -336,12 +349,8 @@ def render(scene, ray_block: int = DEFAULT_RAY_BLOCK,
             redo = True
         if not redo:
             break
-    if out_u8:
-        frame = np.asarray(frame3)  # already (H, W, 3) u8
-    else:
-        frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(aux["stats"])
-    return frame, aux
+    return frame3, aux
 
 
 def warn_dropped_paths(stats) -> None:
@@ -358,15 +367,22 @@ def warn_dropped_paths(stats) -> None:
         )
 
 
+@functools.lru_cache(maxsize=16)
 def _make_strip_fns(mesh, ray_block, queue_headroom=1):
     """(strip_fn, ssaa_fn) for the strip-rendering paths: single-device
     when mesh is None, shard_map'd over the mesh otherwise. Same
-    contracts either way."""
+    contracts either way.
+
+    Only `rows` is a static jit argument — y0 enters the row indices
+    additively, so it traces as a scalar and a whole-frame strip render
+    compiles at most TWO programs (full strip + tail strip) instead of
+    one per strip; the lru_cache reuses the jit wrappers (and their
+    compile cache) across renders."""
     if mesh is None:
         strip_fn = jax.jit(
             functools.partial(_render_strip, ray_block=ray_block,
                               queue_headroom=queue_headroom),
-            static_argnames=("y0", "rows"),
+            static_argnames=("rows",),
         )
 
         def ssaa_fn(scene_t, frame3, capacity):
@@ -385,7 +401,7 @@ def _make_strip_fns(mesh, ray_block, queue_headroom=1):
         functools.partial(render_strip_sharded, mesh=mesh,
                           ray_block=ray_block,
                           queue_headroom=queue_headroom),
-        static_argnames=("y0", "rows"),
+        static_argnames=("rows",),
     )
 
     def ssaa_fn(scene_t, frame3, capacity):
@@ -454,35 +470,8 @@ def render_with_progress(scene, *, strip_rows: int = 128,
             _print(f"{coef * done_px:2.0f}%")
             last = now()
 
-    frame3 = jnp.asarray(accum3.reshape(3, h, w))
-    frame3 = frame3.at[:, h - 1, :].set(0.0)
-    frame3 = frame3.at[:, :, w - 1].set(0.0)
-    n_masked = jnp.zeros((), jnp.int32)
-    # SSAA also runs under showNormals — the reference's SSAAworker
-    # casts through castRay, which returns normal colors in that mode
-    # (scene.cpp:601-605, 771-772); _ssaa_pass has the matching branch.
-    if st.enable_ssaa:
-        from rendering_tpu.utils.timer import Timer
-
-        # Reference phase timers (scene.cpp:544,553). The Sobel mask is
-        # recomputed inside the jitted SSAA program; this standalone
-        # evaluation (sub-ms conv2d) exists only to report the phase,
-        # so it runs only when the print would.
-        if st.enable_output:
-            t_sobel = Timer("Sobel filter", True)
-            t_sobel.stop(jax.jit(sobel_mask)(frame3))
-        t_msaa = Timer("MSAA", st.enable_output)
-        capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
-        scene_t = derive_mesh_tables(scene)
-        base3 = frame3
-        frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
-        if int(n_masked) > capacity:  # auto-escalate: exact refinement
-            capacity = min(w * h,
-                           1 << (max(int(n_masked), 2) - 1).bit_length())
-            frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
-        t_msaa.stop(frame3)
-        for k in stats_acc:
-            stats_acc[k] += float(s2[k])
+    frame3, n_masked = _finish_strips(scene, accum3, stats_acc, ssaa_fn,
+                                      timers=True)
     if (stats_acc["paths_dropped"] > 0
             and queue_headroom < MAX_QUEUE_HEADROOM):
         # Transparent tree outgrew the queue: redo with double headroom
@@ -494,6 +483,76 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(stats_acc)
     return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
+
+
+def _finish_strips(scene, accum3, stats_acc, ssaa_fn, *, timers: bool):
+    """Shared tail of the strip-rendering wrappers (render_with_progress
+    / render_resumable): blacks out the reference's dead last
+    row/column, then runs the whole-frame adaptive-SSAA pass with the
+    escalate-once-to-exact retry, merging its stats into stats_acc in
+    place. SSAA also runs under showNormals — the reference's
+    SSAAworker casts through castRay, which returns normal colors in
+    that mode (scene.cpp:601-605, 771-772); _ssaa_pass has the matching
+    branch. timers: print the reference's Sobel/MSAA phase timers
+    (scene.cpp:544,553) when the scene has output enabled. Returns
+    (frame3, n_masked)."""
+    st = scene.static.settings
+    w, h = st.width, st.height
+    frame3 = jnp.asarray(accum3.reshape(3, h, w))
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    frame3 = frame3.at[:, :, w - 1].set(0.0)
+    n_masked = jnp.zeros((), jnp.int32)
+    if st.enable_ssaa:
+        from rendering_tpu.utils.timer import Timer
+
+        show = timers and st.enable_output
+        # The Sobel mask is recomputed inside the jitted SSAA program;
+        # this standalone evaluation (sub-ms conv2d) exists only to
+        # report the phase, so it runs only when the print would.
+        if show:
+            t_sobel = Timer("Sobel filter", True)
+            t_sobel.stop(jax.jit(sobel_mask)(frame3))
+        t_msaa = Timer("MSAA", show)
+        capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
+        scene_t = derive_mesh_tables(scene)
+        base3 = frame3
+        frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
+        if int(n_masked) > capacity:  # auto-escalate: exact refinement
+            capacity = min(w * h,
+                           1 << (max(int(n_masked), 2) - 1).bit_length())
+            frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
+        t_msaa.stop(frame3)
+        for k in stats_acc:
+            stats_acc[k] += float(s2[k])
+    return frame3, n_masked
+
+
+def _scene_fingerprint(scene) -> np.int64:
+    """Cheap identity hash of a scene for checkpoint validation:
+    static config repr + every leaf's shape/dtype + the BYTES of small
+    leaves (lights, materials, camera — the things a user typically
+    edits between runs). Large leaves (mesh vertices, textures)
+    contribute shape/dtype only: pulling a device array back through a
+    remote TPU tunnel costs ~35 s per 9 MB, so hashing their bytes
+    would dwarf the render being protected."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha1()
+    h.update(repr(scene.static).encode())
+    for leaf in jax.tree_util.tree_leaves(scene):
+        shape = tuple(getattr(leaf, "shape", ()))
+        dtype = str(getattr(leaf, "dtype", type(leaf).__name__))
+        h.update(f"{shape}|{dtype};".encode())
+        size = int(np.prod(shape)) if shape else 1
+        try:
+            small = size * np.dtype(dtype).itemsize <= 65536
+        except TypeError:  # non-array leaf (python scalar etc.)
+            small = True
+        if small:
+            h.update(np.asarray(leaf).tobytes())
+    return np.frombuffer(h.digest()[:8], dtype=np.int64)[0]
 
 
 def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
@@ -520,7 +579,11 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
 
     import numpy as np
 
-    from rendering_tpu.diff.checkpoint import load_checkpoint, save_checkpoint
+    from rendering_tpu.diff.checkpoint import (
+        load_checkpoint,
+        load_checkpoint_meta,
+        save_checkpoint,
+    )
 
     st = scene.static.settings
     if st.show_ac:
@@ -534,33 +597,56 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             frame3, aux = render_scene(scene, ray_block=ray_block)
         return (
             np.asarray(frame3).transpose(1, 2, 0),
-            {"ssaa_masked": aux["ssaa_masked"]},
+            {"stats": {k: float(v) for k, v in aux["stats"].items()},
+             "ssaa_masked": aux["ssaa_masked"]},
         )
     w, h = st.width, st.height
     n_strips = -(-h // strip_rows)
 
     accum3 = np.zeros((3, h * w), np.float32)
     done = np.zeros((n_strips,), bool)
+    stats_acc = {k: 0.0 for k in _zero_stats()}
+    fp = _scene_fingerprint(scene)
     if resume and os.path.exists(checkpoint_path):
         _step, _p, _o, frame_ck, mask_ck = load_checkpoint(
             checkpoint_path, {}, {}
         )
+        meta = load_checkpoint_meta(checkpoint_path)
         # The strip mask length must match the current strip layout —
         # a checkpoint taken at a different strip_rows would map done
-        # entries onto different row ranges (silently corrupt frame).
+        # entries onto different row ranges (silently corrupt frame) —
+        # and the scene fingerprint must match: a checkpoint from a
+        # different scene/settings at the same resolution would
+        # otherwise be silently reused as finished pixels.
+        fp_ok = ("scene_fp" in meta
+                 and int(meta["scene_fp"]) == int(fp)
+                 and int(meta.get("queue_headroom", 1)) == queue_headroom)
         if (
             frame_ck is not None
             and frame_ck.shape == accum3.shape
             and mask_ck is not None
             and len(np.asarray(mask_ck)) == n_strips
+            and fp_ok
         ):
             # Copy: the loop writes strips into accum3 in place, and a
             # loaded checkpoint array may be read-only.
             accum3 = np.asarray(frame_ck).copy()
             done = np.asarray(mask_ck).astype(bool)
+            # Restore the finished strips' accumulated counters —
+            # paths_dropped in particular must survive a preemption,
+            # or a resumed glass-heavy render would skip the headroom
+            # escalation redo (and its warning) that an uninterrupted
+            # run performs.
+            for k in stats_acc:
+                if k in meta:
+                    stats_acc[k] = float(meta[k])
+        elif frame_ck is not None and not fp_ok:
+            print(
+                "warning: ignoring checkpoint (scene or settings "
+                "changed since it was written); rendering from scratch"
+            )
 
     strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
-    dropped = 0.0
     for s in range(n_strips):
         if done[s]:
             continue
@@ -568,28 +654,19 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         rows = min(strip_rows, h - y0)
         part, s_stats = strip_fn(scene, y0=y0, rows=rows)
         accum3[:, y0 * w : y0 * w + rows * w] = np.asarray(part)
-        dropped += float(s_stats["paths_dropped"])
+        for k in stats_acc:
+            stats_acc[k] += float(s_stats[k])
         done[s] = True
         save_checkpoint(checkpoint_path, s + 1, {}, {}, frame=accum3,
-                        tile_mask=done)
+                        tile_mask=done,
+                        meta={"scene_fp": fp,
+                              "queue_headroom": queue_headroom,
+                              **stats_acc})
 
-    frame3 = jnp.asarray(accum3.reshape(3, h, w))
-    frame3 = frame3.at[:, h - 1, :].set(0.0)
-    frame3 = frame3.at[:, :, w - 1].set(0.0)
-    n_masked = jnp.zeros((), jnp.int32)
-    # show_ac returned early above; showNormals DOES run SSAA (see
-    # render_with_progress).
-    if st.enable_ssaa:
-        capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
-        scene_t = derive_mesh_tables(scene)
-        base3 = frame3
-        frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
-        if int(n_masked) > capacity:  # auto-escalate: exact refinement
-            capacity = min(w * h,
-                           1 << (max(int(n_masked), 2) - 1).bit_length())
-            frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
-        dropped += float(s2["paths_dropped"])
-    if dropped > 0 and queue_headroom < MAX_QUEUE_HEADROOM:
+    frame3, n_masked = _finish_strips(scene, accum3, stats_acc, ssaa_fn,
+                                      timers=False)
+    if (stats_acc["paths_dropped"] > 0
+            and queue_headroom < MAX_QUEUE_HEADROOM):
         # Redo from scratch with double headroom (resume=False: the
         # checkpointed strips were rendered with the dropping queue).
         return render_resumable(
@@ -598,23 +675,25 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             queue_headroom=queue_headroom * 2,
         )
     frame = np.asarray(frame3).transpose(1, 2, 0)
-    warn_dropped_paths({"paths_dropped": dropped})
-    return frame, {"ssaa_masked": n_masked}
+    warn_dropped_paths(stats_acc)
+    return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
 
 
-def _render_strip(scene, *, y0: int, rows: int, ray_block: int,
+def _render_strip(scene, *, y0, rows: int, ray_block: int,
                   queue_headroom: int = 1):
     """Integrate the primary rays of pixel rows [y0, y0+rows) into a
-    STRIP-SIZED (3, rows*w) flat accumulator (jittable; y0/rows
-    static). Strip-sized so the progress/resumable host loops pull
-    rows*w pixels per strip instead of a full frame each (at 3840x1080
-    with 128-row strips that is ~6 MB vs ~50 MB per pull, x9 strips)."""
+    STRIP-SIZED (3, rows*w) flat accumulator (jittable; rows static,
+    y0 TRACED — it only offsets the row indices, so every full-height
+    strip shares one compiled program). Strip-sized so the
+    progress/resumable host loops pull rows*w pixels per strip instead
+    of a full frame each (at 3840x1080 with 128-row strips that is
+    ~6 MB vs ~50 MB per pull, x9 strips)."""
     scene = derive_mesh_tables(scene)
     st = scene.static
     settings = st.settings
     w = settings.width
     ys, xs = jnp.meshgrid(
-        jnp.arange(y0, y0 + rows, dtype=jnp.float32),
+        jnp.arange(rows, dtype=jnp.float32) + jnp.float32(y0),
         jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )

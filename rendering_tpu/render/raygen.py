@@ -86,3 +86,25 @@ def primary_rays(scene, offset: float = 1.0, *, tiled: bool = True):
     rd = pixel_dirs(scene, xs, ys, offset, offset)
     ro = jnp.broadcast_to(scene.cam_pos, rd.shape)
     return ro, rd, pix
+
+
+def ssaa_subsample_rays(scene, idx, valid, w: int):
+    """The 4 SSAA refinement subsample rays of each masked pixel — the
+    parity-pinned sampling (0.25/0.75 subpixel grid PLUS the +0.5 from
+    the reference's getPixels lambda, scene.cpp:517-521), shared by the
+    single-device (_ssaa_pass) and sharded (_ssaa_sharded) refinement
+    passes so the quirk lives in exactly one place. idx: (K,) i32
+    CLAMPED pixel ids; valid: (K,) bool (fill lanes get weight 0).
+    Returns (ro, rd, pix, weight) concatenated subsample-major:
+    subsample i of masked pixel k sits at row i*K + k."""
+    xs = (idx % w).astype(jnp.float32)
+    ys = (idx // w).astype(jnp.float32)
+    ros, rds, pixs, wts = [], [], [], []
+    for ox, oy in ((0.25, 0.25), (0.25, 0.75), (0.75, 0.25), (0.75, 0.75)):
+        rd = pixel_dirs(scene, xs, ys, ox + 0.5, oy + 0.5)
+        rds.append(rd)
+        ros.append(jnp.broadcast_to(scene.cam_pos, rd.shape))
+        pixs.append(idx)
+        wts.append(jnp.where(valid, 0.25, 0.0))
+    return (jnp.concatenate(ros), jnp.concatenate(rds),
+            jnp.concatenate(pixs), jnp.concatenate(wts))

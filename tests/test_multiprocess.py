@@ -7,8 +7,11 @@ renders its shard of a sharded computation. Verifies:
   * the multi-process branch of initialize_distributed actually runs
     (process_count == 2, 8 global devices),
   * a psum across the global mesh sees every process's contribution,
-  * a sharded render over the global mesh matches the single-process
-    render on the overlapping rows.
+  * a sharded render over the global mesh matches the local unsharded
+    render (replicated checksum),
+  * a GEOMETRY-sharded render over a 2-D (rays, geo) cross-process
+    mesh matches too (fused chunk tables split over 'geo', the
+    pmin/psum hit combines riding the inter-process backend).
 
 The subprocesses run the module below with a fresh JAX (cpu, 4 fake
 devices each); results are exchanged via JSON files. Skipped when the
@@ -68,7 +71,45 @@ def local(xl):
 total = jax.jit(
     shard_map(local, mesh=mesh, in_specs=P("rays"), out_specs=P())
 )(x)
-result = {"topo": topo, "psum": float(total)}
+
+# A real sharded render over the global (2-process) mesh must agree
+# with this process's local unsharded render. The frame comes back as
+# a global Array whose shards live on both processes, so compare via a
+# replicated checksum (jnp.sum is a single-controller SPMD reduction).
+from rendering_tpu.flagship import build_tiny_scene
+from rendering_tpu.parallel.shard import render_scene_sharded
+from rendering_tpu.render.pipeline import render_scene
+
+scene = build_tiny_scene(width=64, height=32, n_tris=96)
+ref_sum = float(jnp.sum(render_scene(scene)[0]))
+g_sum = float(jnp.sum(render_scene_sharded(scene, mesh)[0]))
+
+# Geometry sharding across PROCESSES: a 2-D (rays=4, geo=2) global
+# mesh — the fused chunk tables physically sharded over 'geo' with
+# cross-shard pmin/psum combines riding the inter-process backend.
+import dataclasses
+from rendering_tpu.flagship import build_multimesh_scene
+from rendering_tpu.parallel.geoshard import (
+    make_geo_mesh, render_scene_geo_sharded,
+)
+
+ms = build_multimesh_scene(64, 32, n_meshes=2, tris_per_mesh=48)
+ms_ref_sum = float(jnp.sum(render_scene(ms)[0]))
+st = ms.static
+ms_g = dataclasses.replace(
+    ms,
+    static=dataclasses.replace(
+        st,
+        settings=st.settings.replace(
+            geo_shard_axis="geo", pallas_interpret=True,
+        ),
+    ),
+)
+gmesh = make_geo_mesh(jax.devices(), n_geo=2)
+geo_sum = float(jnp.sum(render_scene_geo_sharded(ms_g, gmesh)[0]))
+
+result = {"topo": topo, "psum": float(total), "ref_sum": ref_sum,
+          "g_sum": g_sum, "ms_ref_sum": ms_ref_sum, "geo_sum": geo_sum}
 
 if int(os.environ["RT_PID"]) == 0:
     with open(os.environ["RT_OUT"], "w") as f:
@@ -125,7 +166,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            o, _ = p.communicate(timeout=240)
+            o, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -141,3 +182,13 @@ def test_two_process_distributed(tmp_path):
     # psum over all shards of arange(16) = 120, seen identically by
     # every process.
     np.testing.assert_allclose(result["psum"], 120.0)
+    # Sharded render over the 2-process global mesh == local unsharded
+    # render (checksum; f32 add-order differs across shard boundaries).
+    np.testing.assert_allclose(
+        result["g_sum"], result["ref_sum"], rtol=1e-4
+    )
+    # Geometry-sharded render over the 2-D (rays, geo) cross-process
+    # mesh == local unsharded multimesh render.
+    np.testing.assert_allclose(
+        result["geo_sum"], result["ms_ref_sum"], rtol=1e-4
+    )

@@ -100,6 +100,64 @@ def test_resumable_sharded_matches_and_resumes(in_workspace, tmp_path):
     np.testing.assert_array_equal(f_shard, f_resume)
 
 
+def test_resumable_rejects_stale_scene_checkpoint(in_workspace, tmp_path):
+    """A finished checkpoint from a DIFFERENT scene (same resolution)
+    must not be served as the render: the scene fingerprint in the
+    checkpoint meta forces a from-scratch render, and the fresh run's
+    aux carries real accumulated stats (the common wrapper contract)."""
+    from rendering_tpu.render.pipeline import render_resumable
+
+    scene_a = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene_a = _shrink(scene_a, 64, 48)
+    ck = str(tmp_path / "stale.npz")
+    f_a, aux_a = render_resumable(scene_a, ck, strip_rows=16)
+    assert aux_a["stats"]["rays_casted"] >= 64 * 48
+
+    # Same shapes, different light intensity: resolution-only checks
+    # would silently reuse scene A's framebuffer.
+    l0 = scene_a.lights[0]
+    scene_b = dataclasses.replace(
+        scene_a,
+        lights=(dataclasses.replace(l0, intensity=l0.intensity * 0.5),)
+        + tuple(scene_a.lights[1:]),
+    )
+    f_b_fresh, _ = render_resumable(
+        scene_b, str(tmp_path / "fresh.npz"), strip_rows=16
+    )
+    f_b_resumed, _ = render_resumable(scene_b, ck, strip_rows=16)
+    np.testing.assert_array_equal(f_b_fresh, f_b_resumed)
+    assert not np.array_equal(f_a, f_b_resumed)
+
+    # Resuming the ORIGINAL scene from its finished checkpoint replays
+    # to the identical frame AND restores the accumulated counters from
+    # the checkpoint meta (a preempted glass render must keep its
+    # paths_dropped across restarts to trigger the headroom redo).
+    f_a2, aux_a2 = render_resumable(scene_a, ck, strip_rows=16)
+    np.testing.assert_array_equal(f_a, f_a2)
+    assert aux_a2["stats"]["rays_casted"] >= aux_a["stats"]["rays_casted"]
+
+
+def test_strip_render_compiles_one_program_per_rows_shape(in_workspace):
+    """y0 is a TRACED scalar in the strip functions: a whole-frame
+    strip render must compile at most two programs (full strip + tail
+    strip), not one per strip — on TPU each bounce-program compile is
+    tens of seconds, so per-strip recompiles would dominate progress /
+    resumable renders."""
+    from rendering_tpu.render.integrator import DEFAULT_RAY_BLOCK
+    from rendering_tpu.render.pipeline import _make_strip_fns
+
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 64, 40)  # 40 rows / 16 = strips of 16,16,8
+    strip_fn, _ = _make_strip_fns(None, DEFAULT_RAY_BLOCK, 1)
+    strip_fn.clear_cache()
+    render_with_progress(scene, strip_rows=16)
+    assert strip_fn._cache_size() == 2  # full + tail, NOT 3
+
+
 def test_progress_show_ac_delegates(in_workspace):
     """show_ac is a single whole-frame debug pass: render_with_progress
     must produce the AC heatmap (not silently strip-render the normal

@@ -70,8 +70,17 @@ def main() -> int:
             "fused_rays_per_sec": round(rays / dt_fused, 1),
         }
         if scene.fused_itables is not None:
+            # The per-mesh lane needs the per-mesh kernel tables that
+            # multi-mesh builds skip by default (dead weight on the
+            # fused path) — rebuild with baking forced, then strip the
+            # fused tables so the per-mesh loop runs.
             per_mesh = dataclasses.replace(
-                scene, fused_itables=None, fused_shadow_itables=None
+                build_multimesh_scene(
+                    args.width, args.height, n_meshes=n,
+                    tris_per_mesh=args.tris_per_mesh,
+                    bake_per_mesh_tables=True,
+                ),
+                fused_itables=None, fused_shadow_itables=None,
             )
             dt_pm = time_render(per_mesh, args.reps)
             out["per_mesh_s_per_frame"] = round(dt_pm, 4)

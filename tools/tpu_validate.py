@@ -45,9 +45,11 @@ def setup_workspace(ws: str = "/tmp/vws") -> None:
 
 DEFAULT_SCENES = [
     "t01_simple_shapes",
+    "t03_cow_textured",  # diffuse+normal+specular maps, TBN
     "t04_skybox",
     "t09_showac",
     "t10_shotgun",
+    "t11_sphere_smooth",  # loosest golden budget — check it on chip too
     "t12_bunny_multi",   # fused multi-mesh dispatch on the real chip
     "t13_reflective_full",
 ]
