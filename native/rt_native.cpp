@@ -146,6 +146,30 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
         res->root_bounds[5] = pos.z + rs.z / 2;
     };
 
+    // Token-bounded float parse mirroring the Python loader's
+    // np.float32(parts[k]): each of the first `n` whitespace tokens
+    // must be a FULLY-numeric float literal (trailing junk like "3x"
+    // and hex forms raise ValueError in Python -> parse error here,
+    // so the dispatch falls back to Python and re-raises); missing
+    // tokens are Python's IndexError; EXTRA tokens are ignored.
+    auto parse_floats = [](const char* p, float* out, int n) -> bool {
+        for (int k = 0; k < n; k++) {
+            while (*p == ' ' || *p == '\t') p++;
+            if (!*p) return false;  // missing token
+            const char* tok_end = p;
+            while (*tok_end && *tok_end != ' ' && *tok_end != '\t')
+                tok_end++;
+            // Python float() rejects hex literals that strtof accepts.
+            for (const char* q = p; q < tok_end; q++)
+                if (*q == 'x' || *q == 'X') return false;
+            char* endp = nullptr;
+            out[k] = std::strtof(p, &endp);
+            if (endp != tok_end) return false;  // partial/garbage token
+            p = tok_end;
+        }
+        return true;
+    };
+
     char linebuf[4096];
     while (std::fgets(linebuf, sizeof(linebuf), f)) {
         char* line = linebuf;
@@ -167,8 +191,16 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
         while (*rest == ' ' || *rest == '\t') rest++;
 
         if (!std::strcmp(head, "v")) {
-            float x, y, z;
-            if (std::sscanf(rest, "%f %f %f", &x, &y, &z) != 3) continue;
+            float c3[3];
+            if (!parse_floats(rest, c3, 3)) {
+                // Python raises (IndexError/ValueError) on malformed
+                // vertex lines; silently skipping would shift every
+                // later face index -> corrupt geometry.
+                std::fclose(f);
+                delete res;
+                return nullptr;
+            }
+            float x = c3[0], y = c3[1], z = c3[2];
             if (!normalized) {
                 // np.minimum/maximum.reduce semantics (the Python
                 // loader's first-face bounds): NaN coordinates
@@ -190,14 +222,22 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
             }
             verts.push_back({x, y, z});  // raw if after first face
         } else if (!std::strcmp(head, "vn")) {
-            float x, y, z;
-            if (std::sscanf(rest, "%f %f %f", &x, &y, &z) != 3) continue;
-            V3 n = vnorm({x, y, z});
+            float c3[3];
+            if (!parse_floats(rest, c3, 3)) {
+                std::fclose(f);
+                delete res;
+                return nullptr;
+            }
+            V3 n = vnorm({c3[0], c3[1], c3[2]});
             normals.push_back(n);  // raw if after first face
         } else if (!std::strcmp(head, "vt")) {
-            float u, v;
-            if (std::sscanf(rest, "%f %f", &u, &v) != 2) continue;
-            uvs.push_back({u, v});
+            float c2[2];
+            if (!parse_floats(rest, c2, 2)) {
+                std::fclose(f);
+                delete res;
+                return nullptr;
+            }
+            uvs.push_back({c2[0], c2[1]});
         } else if (!std::strcmp(head, "f")) {
             if (!normalized) apply_first_face();
             int slash_count = 0;
@@ -223,35 +263,48 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
                     vi.push_back(a);
                 }
             } else if (slash_count % 2 == 0) {
+                // Parse WITHIN each whitespace-delimited token, like
+                // the Python loader's tok.split("/"): a bare strtoll
+                // walk would skip whitespace mid-field and read the
+                // NEXT token's vertex index as this token's normal
+                // ("f 1// 2// 3//" silently lost all its triangles).
                 const char* p = rest;
-                while (*p) {
+                bool bad = false;
+                while (*p && !bad) {
                     while (*p == ' ' || *p == '\t') p++;
                     if (!*p) break;
-                    int64_t a = 0, b = 0, c = 0;
-                    char* endp = nullptr;
-                    a = std::strtoll(p, &endp, 10);
-                    if (endp == p && *p != '/') {
-                        // Non-numeric field ("x/1/2"): Python's
-                        // int(fields[0]) raises; an EMPTY field
-                        // ("/1/2") is 0 there and must not error.
-                        std::fclose(f);
-                        delete res;
-                        return nullptr;
-                    }
-                    p = endp;
-                    if (*p == '/') {
-                        p++;
-                        if (*p != '/') b = std::strtoll(p, (char**)&p, 10);
-                        if (*p == '/') {
-                            p++;
-                            c = std::strtoll(p, (char**)&p, 10);
+                    const char* tok_end = p;
+                    while (*tok_end && *tok_end != ' ' && *tok_end != '\t')
+                        tok_end++;
+                    // fields[k]: int(field) if non-empty else 0; a
+                    // non-numeric field raises in Python (int()).
+                    // Fields past the third are ignored UNVALIDATED
+                    // (Python only indexes fields[0..2]).
+                    int64_t fld[3] = {0, 0, 0};
+                    const char* q = p;
+                    for (int k = 0; k < 3; k++) {
+                        const char* fend = q;
+                        while (fend < tok_end && *fend != '/') fend++;
+                        if (fend > q) {
+                            char* endp = nullptr;
+                            fld[k] = std::strtoll(q, &endp, 10);
+                            if (endp != fend) { bad = true; break; }
                         }
+                        if (fend >= tok_end) break;
+                        q = fend + 1;
                     }
-                    if (a > 0) {
-                        vi.push_back(a);
-                        if (b > 0) ti.push_back(b);
-                        if (c > 0) ni.push_back(c);
+                    if (bad) break;
+                    if (fld[0] > 0) {
+                        vi.push_back(fld[0]);
+                        if (fld[1] > 0) ti.push_back(fld[1]);
+                        if (fld[2] > 0) ni.push_back(fld[2]);
                     }
+                    p = tok_end;
+                }
+                if (bad) {
+                    std::fclose(f);
+                    delete res;
+                    return nullptr;
                 }
             } else {
                 continue;  // unhandled slash count (objects.cpp:378)

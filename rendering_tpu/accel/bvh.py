@@ -106,10 +106,13 @@ def build_bvh(
     AABB."""
     try:
         from rendering_tpu.native import build_bvh_native
-
-        d = build_bvh_native(tri_v, root_bounds, ac_penalty, leaf_chunk)
-    except Exception:
-        d = None
+    except (ImportError, OSError):
+        # Native library absent or unloadable: the Python builder is
+        # the documented fallback. A native builder that loads but
+        # FAILS mid-build propagates — silently swapping builders
+        # there would mask a bit-contract violation.
+        return build_bvh_python(tri_v, root_bounds, ac_penalty, leaf_chunk)
+    d = build_bvh_native(tri_v, root_bounds, ac_penalty, leaf_chunk)
     if d is not None:
         return FlatBVH(**d)
     return build_bvh_python(tri_v, root_bounds, ac_penalty, leaf_chunk)

@@ -41,9 +41,11 @@ def save_checkpoint(path: str, step: int, params, opt_state,
         out["tile_mask"] = np.asarray(tile_mask)
     for k, v in (meta or {}).items():
         out[f"meta__{k}"] = np.asarray(v)
+    # np.savez appends ".npz" to a path without it; write to a .tmp
+    # sibling and atomically rename over the target.
     tmp = path + ".tmp"
     np.savez(tmp, **out)
-    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    os.replace(tmp + ".npz", path)
 
 
 def load_checkpoint_meta(path: str) -> dict:

@@ -52,7 +52,26 @@ def euler_matrix(rot_deg) -> np.ndarray:
     mx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], dtype=np.float32)
     my = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], dtype=np.float32)
     mz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], dtype=np.float32)
-    return (mz @ my @ mx).astype(np.float32)
+    return _mat3_mul(_mat3_mul(mz, my), mx)
+
+
+def _mat3_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element f32 matrix product with the reference's exact
+    rounding (geometry.h:244-253): each entry is the LEFT-TO-RIGHT sum
+    a0*b0 + a1*b1 + a2*b2 (+ the 4x4 build's fourth term, exactly
+    +0.0 for rotation blocks), every op rounded separately. numpy's
+    `@` hands the product to BLAS, whose FMA contraction and blocked
+    summation can differ by 1 ulp depending on the BLAS build — and a
+    1-ulp rotation entry shifts every vertex, normal, and camera ray
+    (goldens would pass on one host and fail on another)."""
+    c = np.zeros((3, 3), np.float32)
+    zero = np.float32(0.0)
+    for i in range(3):
+        for j in range(3):
+            c[i, j] = (
+                (a[i, 0] * b[0, j] + a[i, 1] * b[1, j]) + a[i, 2] * b[2, j]
+            ) + zero
+    return c
 
 
 @dataclasses.dataclass
@@ -154,13 +173,18 @@ def load_obj(path: str, size, rot, pos, bias: float = 0.0001) -> MeshArrays:
     tests/test_native.py), else the pure-Python implementation."""
     try:
         from rendering_tpu.native import load_obj_native
-
-        res = load_obj_native(
-            path, np.asarray(size, np.float32), euler_matrix(rot),
-            np.asarray(pos, np.float32), bias,
-        )
-    except Exception:
-        res = None
+    except (ImportError, OSError):
+        # Native library absent/unloadable: Python is the documented
+        # fallback. A native loader that loads but FAILS mid-parse
+        # returns None (clean parse error -> Python path re-raises the
+        # matching exception) or propagates — silently swallowing
+        # arbitrary wrapper exceptions would mask bit-contract
+        # violations (same policy as accel.bvh.build_bvh).
+        return load_obj_python(path, size, rot, pos, bias)
+    res = load_obj_native(
+        path, np.asarray(size, np.float32), euler_matrix(rot),
+        np.asarray(pos, np.float32), bias,
+    )
     if res is not None:
         v, n, uv, tangent, bitangent, bounds = res
         return MeshArrays(v=v, n=n, uv=uv, tangent=tangent,

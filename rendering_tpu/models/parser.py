@@ -50,7 +50,8 @@ class SceneError(RuntimeError):
 #     eof, so the !eof check passes);
 #   * stopping in an INCOMPLETE grammar state ("+", ".", "1e", "1e+",
 #     "1.e") errors IF input remains ("+a", ".x", "1ex", "1e+x"),
-#     but yields 0 at end-of-string ("-", "1e", "1e-" -> 0.0);
+#     but yields 0 at end-of-string ("-", "1e", "1e-" -> +0.0; the
+#     sign does NOT survive a failed conversion, unlike the hex path);
 #   * "inf"/"nan" are NOT in num_get's grammar -> error;
 #   * hex forms are consumed but never convert: "0x1p3"/"0x10" -> 0.0
 #     ("-0x2" -> -0.0), junk after the hex body is ignored ("0xg").
@@ -93,7 +94,9 @@ def _to_float(s: str) -> float:
         # only sign and/or '.' consumed: incomplete state
         if i < n:
             raise SceneError(f"bad float: {s!r}")
-        return sign * 0.0
+        # failed conversion stores +0.0 — the sign does NOT survive
+        # ("-" -> 0, signbit 0; g++ probe), unlike the hex path above
+        return 0.0
     mant_end = i
     if i < n and t[i] in "eE":
         i += 1
@@ -105,7 +108,9 @@ def _to_float(s: str) -> float:
         if i == j:
             if i < n:  # "1ex"/"1e+x": incomplete exponent, junk next
                 raise SceneError(f"bad float: {s!r}")
-            return sign * 0.0  # "1e"/"1e+" at end: conversion fails
+            # "1e"/"1e+"/"-1e" at end: conversion fails -> +0.0 (the
+            # sign does not survive a failed conversion; g++ probe)
+            return 0.0
         return float(t[:i])
     return float(t[:mant_end])
 
@@ -313,6 +318,11 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 sd.cam_rot = _to_vec3(value)
             elif key == "skyboxes":
                 names = value.split(",")
+                # getline-with-delimiter yields NO cell for a trailing
+                # delimiter (util.h:77-85), so "a,b,c,d,e," is FIVE
+                # cells in the reference (LOG_ERROR), not five + "".
+                if names and names[-1] == "":
+                    names.pop()
                 if len(names) < 6:
                     raise SceneError("skyboxes needs 6 names")
                 settings_kw["skybox_names"] = tuple(names[:6])
@@ -392,6 +402,15 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 obj.pos = _to_vec3(value)
             elif key == "material":
                 res = value.split(",")
+                # Missing fields index past the reference's vector
+                # (scene.cpp:273-288 reads res[1..4] unchecked — UB);
+                # we can't replicate UB, so fail loudly with context.
+                need = {"transparent": 2, "phong": 5}.get(res[0], 1)
+                if len(res) < need:
+                    raise SceneError(
+                        f"material {res[0]!r} needs {need - 1} value(s): "
+                        f"{line!r}"
+                    )
                 if res[0] == "transparent":
                     obj.material = "transparent"
                     obj.ior = _to_float(res[1])
@@ -410,8 +429,13 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                 if key == "normal":
                     obj.normal = _to_vec3(value)
             elif obj.kind == "mesh":
-                # Current settings snapshot for bias/ac at OBJ load time.
-                cur = (base_settings or RenderSettings()).replace(**settings_kw)
+                # Settings snapshot for bias/textures at OBJ/map load
+                # time (lazy: only the name/map branches read it).
+                def cur_settings():
+                    return (base_settings or RenderSettings()).replace(
+                        **settings_kw
+                    )
+
                 if key == "size":
                     obj.size = _to_vec3(value)
                 elif key == "rot":
@@ -421,23 +445,24 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
                     # (src/objects.cpp:217), gated by enableOutput.
                     from rendering_tpu.utils.timer import Timer
 
+                    cur = cur_settings()
                     t_obj = Timer("OBJ loading", cur.enable_output)
                     obj.mesh = load_obj(
                         value, obj.size, obj.rot, obj.pos, bias=cur.bias
                     )
                     t_obj.stop()
                 elif key == "diffuse_map":
-                    if cur.use_textures:
+                    if cur_settings().use_textures:
                         _require_map_file(value)
                         obj.diffuse_map, obj.diffuse_map_wh = _load_map(value)
                 elif key == "normal_map":
-                    if cur.use_textures:
+                    if cur_settings().use_textures:
                         _require_map_file(value)
                         nm, wh = _load_map(value)
                         obj.normal_map = decode_normal_map(nm)
                         obj.normal_map_wh = wh
                 elif key == "specular_map":
-                    if cur.use_textures:
+                    if cur_settings().use_textures:
                         _require_map_file(value)
                         sm, wh = _load_map(value)
                         obj.specular_map = decode_specular_map(sm)
@@ -451,6 +476,10 @@ def parse_scene(path: str, base_settings: RenderSettings | None = None) -> Scene
         faces = []
         wh = (0, 0)
         for name in sd.settings.skybox_names:
+            # Same missing-file contract as texture maps: the
+            # reference's loadBMP LOG_ERROR-exits (util.cpp:78-85); a
+            # raw FileNotFoundError would lose the scene-file context.
+            _require_map_file(name)
             face = load_bmp_float(name)  # (H, W, 3), loadBMP row order
             wh = (face.shape[1], face.shape[0])
             faces.append(face)

@@ -38,6 +38,17 @@ def sobel_mask(frame3: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
             patch = frame3[:, a : h - 2 + a, b : w - 2 + b]
             gx = gx + patch * _S[a][b]
             gy = gy + patch * _S[b][a]
-    val = jnp.sqrt(jnp.sum(gx * gx, axis=0) + jnp.sum(gy * gy, axis=0))
+    # val = sqrtf(powf(x.length(), 2) + powf(y.length(), 2))
+    # (scene.cpp:564): each length() is a rounded sqrtf of the
+    # left-to-right sum x*x + y*y + z*z (geometry.h:94-102), then
+    # RE-SQUARED (powf(.,2) == the correctly-rounded f32 product).
+    # The sqrt->square round-trip and the explicit sum associativity
+    # matter: a direct sqrt(sum+sum) can differ by ulps and flip the
+    # strict > 0.5 mask for pixels at the threshold.
+    def _len(g):
+        return jnp.sqrt((g[0] * g[0] + g[1] * g[1]) + g[2] * g[2])
+
+    lx, ly = _len(gx), _len(gy)
+    val = jnp.sqrt(lx * lx + ly * ly)
     mask = val > threshold
     return jnp.pad(mask, 1, constant_values=False)

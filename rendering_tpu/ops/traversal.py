@@ -69,8 +69,12 @@ def traverse_bvh(
 
     if n_nodes == 0:
         z = jnp.zeros((), jnp.int32)
+        # FLT_MAX, not the t_limit-clamped t0: the no-hit contract
+        # (callers test t < FLT_MAX) must hold for empty meshes too.
         return TraversalResult(
-            t0, jnp.full((R,), -1, jnp.int32), jnp.zeros((R,)), jnp.zeros((R,)), z, z
+            jnp.full((R,), FLT_MAX, jnp.float32),
+            jnp.full((R,), -1, jnp.int32), jnp.zeros((R,)), jnp.zeros((R,)),
+            z, z,
         )
 
     karange = jnp.arange(K, dtype=jnp.int32)

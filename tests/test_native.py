@@ -170,3 +170,40 @@ def test_native_leading_whitespace_lines_match_python(tmp_path):
     assert nat is not None
     assert py.n_tris == 1
     np.testing.assert_array_equal(py.v, nat[0])
+
+
+def test_native_empty_trailing_fields_match_python(tmp_path):
+    """'f 1// 2// 3//' — empty uv/normal fields with the token ending
+    in slashes. A strtoll walk that skips whitespace mid-field reads
+    the NEXT token's vertex index as this token's normal index and
+    silently emits zero triangles; the Python loader emits one flat
+    triangle. Both sides must agree."""
+    path = _write(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1// 2// 3//\n",
+    )
+    py = load_obj_python(path, (2, 2, 2), (0, 0, 0), (0, 0, 0))
+    nat = load_obj_native(
+        path, np.asarray((2, 2, 2), np.float32),
+        euler_matrix((0, 0, 0)), np.zeros(3, np.float32), 1e-4,
+    )
+    assert nat is not None
+    assert py.v.shape[0] == 1  # one flat-shaded triangle
+    np.testing.assert_array_equal(py.v, nat[0])
+    np.testing.assert_array_equal(py.n, nat[1])
+
+
+@pytest.mark.parametrize("vline", ["v 1 2", "v 1 2 3x", "vn 1 2",
+                                   "vt 0.5"])
+def test_native_malformed_vertex_lines_error_like_python(tmp_path, vline):
+    """Malformed v/vn/vt lines raise in the Python loader; the native
+    loader must signal a parse error (None -> the dispatch falls back
+    to Python, which re-raises) instead of silently dropping the line
+    and shifting every later face index."""
+    path = _write(tmp_path, f"{vline}\nv 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    with pytest.raises(Exception):
+        load_obj_python(path, (1, 1, 1), (0, 0, 0), (0, 0, 0))
+    assert load_obj_native(
+        path, np.ones(3, np.float32), np.eye(3, dtype=np.float32),
+        np.zeros(3, np.float32), 1e-4,
+    ) is None

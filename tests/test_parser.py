@@ -178,6 +178,12 @@ def test_stream_number_semantics():
         got = _to_float(s)
         assert got == want and not math.isnan(got), (s, got, want)
     assert math.copysign(1.0, _to_float("-0x2")) == -1.0  # -0.0
+    # A failed NON-hex conversion stores +0.0 — the sign does not
+    # survive (g++ probe: "-", "-.", "-1e", "-1e+" all give signbit 0,
+    # while "-0" converts successfully to -0.0 and hex keeps its sign).
+    for s in ("-", "-.", "-1e", "-1e+"):
+        assert math.copysign(1.0, _to_float(s)) == 1.0, s
+    assert math.copysign(1.0, _to_float("-0")) == -1.0
 
     for s in ("abc", "inf", "INF", "nan", "+a", "-x", ".x", "1ex",
               "1e+x", "1e-x", "1.ex", "+e5", "e5", "..5", "+-3"):
@@ -264,3 +270,69 @@ diffuse_map=does_not_exist.bmp
         parse_scene(_write(tmp_path, scene_text))
     sd = parse_scene(_write(tmp_path, "[options]\nuseTextures=0\n" + scene_text))
     assert sd.objects[0].diffuse_map is None
+
+
+def test_string_values_keep_raw_whitespace(tmp_path):
+    """The reference assigns string values RAW (scene.cpp:173:
+    `options.imageName = std::string(value)` — the substring after '='
+    with whitespace kept), so `image_name= foo` stores " foo". Pinned
+    because it looks like a bug: it is parity."""
+    sd = parse_scene(_write(tmp_path, """
+[options]
+image_name= spaced
+[end]
+"""))
+    assert sd.settings.image_name == " spaced"
+
+
+def test_material_missing_fields_errors(tmp_path):
+    """The reference reads res[1..4] unchecked (scene.cpp:273-288) —
+    out-of-bounds UB on missing fields. We can't replicate UB; a
+    SceneError with the offending line is the framework behavior."""
+    for mat in ("material=transparent", "material=phong,1,1,1"):
+        with pytest.raises(SceneError):
+            parse_scene(_write(tmp_path, f"""
+[object]
+type=sphere
+{mat}
+[end]
+"""))
+
+
+def test_skyboxes_trailing_comma_matches_getline(tmp_path):
+    """getline-with-delimiter yields NO cell for a trailing delimiter,
+    so five names + ',' is five cells in the reference -> LOG_ERROR,
+    not five + an empty sixth that later fails to open."""
+    with pytest.raises(SceneError):
+        parse_scene(_write(tmp_path, """
+[options]
+skyboxes=a,b,c,d,e,
+[end]
+"""))
+
+
+def test_traverse_empty_mesh_respects_flt_max_contract():
+    """n_nodes == 0 with a t_limit must still return FLT_MAX on miss
+    (callers test t < FLT_MAX as 'hit'; an early return of the clamped
+    t_limit would fabricate a phantom hit at exactly the limit)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from rendering_tpu.ops.traversal import FLT_MAX, traverse_bvh
+
+    mesh = types.SimpleNamespace(
+        node_min=jnp.zeros((0, 3), jnp.float32),
+        node_max=jnp.zeros((0, 3), jnp.float32),
+        skip=jnp.zeros((0,), jnp.int32),
+        leaf_start=jnp.zeros((0,), jnp.int32),
+        leaf_count=jnp.zeros((0,), jnp.int32),
+        leaf_tris=jnp.zeros((0,), jnp.int32),
+        v=jnp.zeros((0, 3, 3), jnp.float32),
+        leaf_chunk=8,
+    )
+    ro = jnp.zeros((4, 3), jnp.float32)
+    rd = jnp.tile(jnp.asarray([[0, 0, -1]], jnp.float32), (4, 1))
+    r = traverse_bvh(mesh, ro, rd, jnp.full((4,), 7.5, jnp.float32))
+    assert np.all(np.asarray(r.t) == FLT_MAX)
+    assert np.all(np.asarray(r.tri) == -1)
