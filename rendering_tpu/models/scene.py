@@ -316,6 +316,13 @@ def build_scene(sd: SceneDef, *,
                 )
             else:
                 clipped = False
+            vgeoT_np = np.concatenate([
+                m.v.reshape(t_count, 9).T,
+                m.n.reshape(t_count, 9).T,
+                m.uv.reshape(t_count, 6).T,
+                m.tangent.T,
+                m.bitangent.T,
+            ], axis=0).copy()
             meshes.append(
                 MeshData(
                     v=jnp.asarray(m.v),
@@ -323,13 +330,13 @@ def build_scene(sd: SceneDef, *,
                     uv=jnp.asarray(m.uv),
                     tangent=jnp.asarray(m.tangent),
                     bitangent=jnp.asarray(m.bitangent),
-                    vgeoT=jnp.asarray(np.concatenate([
-                        m.v.reshape(t_count, 9).T,
-                        m.n.reshape(t_count, 9).T,
-                        m.uv.reshape(t_count, 6).T,
-                        m.tangent.T,
-                        m.bitangent.T,
-                    ], axis=0).copy()),
+                    # Host-side under geometry sharding: the
+                    # shade-sharded path concatenates and SHARDS the
+                    # global vgeoT over 'geo' (parallel.geoshard) — a
+                    # device copy here would stage the full (30, T)
+                    # table on one chip first.
+                    vgeoT=(vgeoT_np if st.geo_shard_axis is not None
+                           else jnp.asarray(vgeoT_np)),
                     reach_lo=jnp.asarray(bvh.reach_lo),
                     reach_hi=jnp.asarray(bvh.reach_hi),
                     node_min=jnp.asarray(bvh.node_min),
@@ -451,7 +458,15 @@ def build_scene(sd: SceneDef, *,
         from rendering_tpu.ops.pallas_intersect import build_fused_tables
 
         clipped_flags = [m.clipped_by_root for m in meshes]
-        fused_itables = build_fused_tables(mesh_host_views, clipped_flags)
+        # Under geometry sharding the fused tables stay HOST-side:
+        # parallel.geoshard feeds them into shard_map with sharded
+        # in_specs, so each device receives only its 1/G shard — a
+        # device jnp copy here would stage the full O(T_total) tables
+        # on one chip first and defeat the beyond-HBM mode.
+        host_tables = st.geo_shard_axis is not None
+        fused_itables = build_fused_tables(
+            mesh_host_views, clipped_flags, as_numpy=host_tables
+        )
         shadow_inc = [
             mat_types[oi] != MAT_TRANSPARENT for oi in mesh_obj_idx
         ]
@@ -463,6 +478,7 @@ def build_scene(sd: SceneDef, *,
                 tri_chunk=st.anyhit_tri_chunk or None,
                 n_sub=(st.anyhit_n_sub or None)
                 if st.anyhit_tri_chunk else None,
+                as_numpy=host_tables,
             )  # None when every mesh is transparent
 
     return SceneData(

@@ -446,7 +446,8 @@ DEFAULT_SUB_PER_SUPER = int(os.environ.get("RT_N_SUB", "8"))
 
 
 def build_intersect_tables(mesh, *, tri_chunk: int = 256,
-                           n_sub: int | None = None):
+                           n_sub: int | None = None,
+                           as_numpy: bool = False):
     """Build the kernel-format chunk tables for a mesh. Call once per
     scene build. Pure NUMPY on the host: a jnp formulation compiled
     ~27 XLA programs per mesh, which costs minutes per scene over the
@@ -524,10 +525,17 @@ def build_intersect_tables(mesh, *, tri_chunk: int = 256,
         ],
         axis=1,
     ).astype(np.float32)  # (Cs, 8)
+    # as_numpy keeps the tables HOST-side: the fused builder
+    # re-concatenates them on the host anyway (a device round-trip per
+    # mesh costs ~35 s per 9 MB over a remote TPU tunnel), and the
+    # geo-sharded path feeds host arrays straight into shard_map so
+    # each device receives only ITS shard — staging the full table on
+    # one device first would defeat the beyond-HBM mode.
+    wrap = (lambda a: a) if as_numpy else jnp.asarray
     return IntersectTables(
         tri_chunk, n_sub,
-        None if perm is None else jnp.asarray(perm),
-        jnp.asarray(tri), jnp.asarray(cbox), jnp.asarray(sbox),
+        None if perm is None else wrap(perm),
+        wrap(tri), wrap(cbox), wrap(sbox),
     )
 
 
@@ -583,7 +591,16 @@ def _tile_tables(ro_t, inv_t, t0_t, cbox):
     sum(max(counts, 1)) — the compacted step count including one
     init step for each empty tile)."""
     live = _tile_live_exact(ro_t, inv_t, t0_t, cbox)
-    centroid = jnp.mean(ro_t, axis=2)  # (n_tiles, 3)
+    # Near-to-far sort key from the centroid of the tile's LIVE ray
+    # origins: padded/pre-done lanes carry t0 < 0 and zero origins — a
+    # plain mean would drag a partial tile's centroid toward the world
+    # origin and weaken its progressive t-pruning (pure perf; results
+    # are identical up to degenerate exact-tie chunk order).
+    lane = (t0_t >= 0).astype(jnp.float32)            # (n_tiles, BR)
+    cnt = jnp.maximum(jnp.sum(lane, axis=1), 1.0)     # (n_tiles,)
+    centroid = (
+        jnp.sum(ro_t * lane[:, None, :], axis=2) / cnt[:, None]
+    )  # (n_tiles, 3)
     ccenter = (cbox[None, :, 0:3] + cbox[None, :, 3:6]) * 0.5
     dist2 = jnp.sum((ccenter - centroid[:, None, :]) ** 2, axis=-1)
     # One sort does both: dead chunks key to +inf (stable -> id order),
@@ -926,8 +943,9 @@ class FusedTables:
     `geo` is a plain IntersectTables over the concatenated chunks;
     `idmap` is the raw-id remap — rows [mesh sub index, global column
     into the scene's concatenated (30, T_total) vgeoT] indexed by the
-    kernel's padded chunk-space triangle id. Padded slots alias row 0
-    of their mesh (they are zero triangles and can never be returned).
+    kernel's padded chunk-space triangle id. Padded slots alias their
+    mesh's LAST real row (np.minimum(arange, t_i - 1) clamps upward;
+    they are zero triangles and can never be returned).
     """
 
     def __init__(self, geo: IntersectTables, idmap, n_meshes: int,
@@ -958,7 +976,8 @@ jax.tree_util.register_pytree_node(
 
 def build_fused_tables(host_meshes, clipped_flags, include=None,
                        tri_chunk: int | None = None,
-                       n_sub: int | None = None):
+                       n_sub: int | None = None,
+                       as_numpy: bool = False):
     """Concatenate per-mesh chunk tables into one FusedTables.
 
     host_meshes: sequence of host-side mesh views (numpy .v (T, 3, 3),
@@ -1014,10 +1033,14 @@ def build_fused_tables(host_meshes, clipped_flags, include=None,
                 v=m.v, reach_lo=v.min(axis=1), reach_hi=v.max(axis=1),
                 morton_perm=getattr(m, "morton_perm", None),
             )
-        p = build_intersect_tables(mm, tri_chunk=tc, n_sub=n_sub)
-        tris.append(np.asarray(p.tri))
-        cboxes.append(np.asarray(p.cbox))
-        sboxes.append(np.asarray(p.sbox))
+        # as_numpy: the per-mesh tables are concatenated on the host
+        # below — materializing each on device first costs a full
+        # device->host round-trip per mesh for nothing.
+        p = build_intersect_tables(mm, tri_chunk=tc, n_sub=n_sub,
+                                   as_numpy=True)
+        tris.append(p.tri)
+        cboxes.append(p.cbox)
+        sboxes.append(p.sbox)
         n_pad = p.tri.shape[0] * n_sub * tc
         local = np.minimum(np.arange(n_pad), t_i - 1)
         perm = getattr(m, "morton_perm", None)
@@ -1030,13 +1053,18 @@ def build_fused_tables(host_meshes, clipped_flags, include=None,
     idmap = np.stack(
         [np.concatenate(mids), np.concatenate(vids)], axis=0
     )  # (2, n_pad_total)
+    # as_numpy keeps the fused tables HOST-side for the geo-sharded
+    # path: shard_map's sharded in_specs then transfer each device only
+    # ITS table shard, instead of staging the full O(T_total) arrays on
+    # one device first (which would defeat the beyond-HBM mode).
+    wrap = (lambda a: a) if as_numpy else jnp.asarray
     geo = IntersectTables(
         tc, n_sub, None,
-        jnp.asarray(np.concatenate(tris, axis=0)),
-        jnp.asarray(np.concatenate(cboxes, axis=0)),
-        jnp.asarray(np.concatenate(sboxes, axis=0)),
+        wrap(np.concatenate(tris, axis=0)),
+        wrap(np.concatenate(cboxes, axis=0)),
+        wrap(np.concatenate(sboxes, axis=0)),
     )
-    return FusedTables(geo, jnp.asarray(idmap), n, any_clipped, vofs)
+    return FusedTables(geo, wrap(idmap), n, any_clipped, vofs)
 
 
 def intersect_fused(

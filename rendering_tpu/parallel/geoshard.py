@@ -69,11 +69,15 @@ def make_geo_mesh(devices=None, n_geo: int = 2) -> Mesh:
 def pad_fused_for_shards(ft: FusedTables, g: int) -> FusedTables:
     """Pad the super-chunk count to a multiple of g so P('geo') shards
     whole supers. Padding supers carry zero triangles and inverted
-    boxes — the pre-cull never marks them live."""
+    boxes — the cull's validity test rejects them. Host numpy tables
+    (the beyond-HBM build, scene.build_scene as_numpy) stay numpy, so
+    shard_map's sharded in_specs can transfer each device only its
+    shard instead of staging the padded whole on one device."""
     cs = ft.geo.sbox.shape[0]
     pad = (-cs) % g
     if pad == 0:
         return ft
+    xp = np if isinstance(ft.geo.sbox, np.ndarray) else jnp
     tc, ns = ft.geo.tri_chunk, ft.geo.n_sub
     inv_box = np.concatenate(
         [np.full((pad, 3), _FMAX, np.float32),
@@ -83,15 +87,15 @@ def pad_fused_for_shards(ft: FusedTables, g: int) -> FusedTables:
     inv_cbox = np.repeat(inv_box, ns, axis=0)
     geo = IntersectTables(
         tc, ns, None,
-        jnp.concatenate(
-            [ft.geo.tri, jnp.zeros((pad,) + ft.geo.tri.shape[1:],
-                                   jnp.float32)]
+        xp.concatenate(
+            [ft.geo.tri, xp.zeros((pad,) + ft.geo.tri.shape[1:],
+                                  np.float32)]
         ),
-        jnp.concatenate([ft.geo.cbox, jnp.asarray(inv_cbox)]),
-        jnp.concatenate([ft.geo.sbox, jnp.asarray(inv_box)]),
+        xp.concatenate([ft.geo.cbox, xp.asarray(inv_cbox)]),
+        xp.concatenate([ft.geo.sbox, xp.asarray(inv_box)]),
     )
-    idmap = jnp.concatenate(
-        [ft.idmap, jnp.zeros((2, pad * ns * tc), jnp.int32)], axis=1
+    idmap = xp.concatenate(
+        [ft.idmap, xp.zeros((2, pad * ns * tc), np.int32)], axis=1
     )
     return FusedTables(geo, idmap, ft.n_meshes, ft.any_clipped, ft.t_total)
 
@@ -99,13 +103,15 @@ def pad_fused_for_shards(ft: FusedTables, g: int) -> FusedTables:
 def pad_vgeo_for_shards(vgeo, g: int):
     """Pad the global (30, T) vgeoT column count to a multiple of g so
     P(None, 'geo') shards whole columns. Pad columns are zeros — no
-    winner vid ever points at them (idmap only holds real columns)."""
+    winner vid ever points at them (idmap only holds real columns).
+    Host numpy input stays numpy (see pad_fused_for_shards)."""
     t = vgeo.shape[1]
     pad = (-t) % g
     if pad == 0:
         return vgeo
-    return jnp.concatenate(
-        [vgeo, jnp.zeros((vgeo.shape[0], pad), jnp.float32)], axis=1
+    xp = np if isinstance(vgeo, np.ndarray) else jnp
+    return xp.concatenate(
+        [vgeo, xp.zeros((vgeo.shape[0], pad), np.float32)], axis=1
     )
 
 
@@ -160,7 +166,21 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
         "build the scene with RenderSettings(geo_shard_axis='geo')"
     )
     assert not settings.enable_ssaa and not settings.show_ac
+    assert not settings.show_normals, (
+        "show_normals is not implemented on the geo-sharded path "
+        "(it would silently render the shaded frame instead)"
+    )
     assert scene.fused_itables is not None, "geo sharding needs meshes"
+    # The fused branch only activates on the Pallas backend; without it
+    # the per-mesh fallback would iterate the (possibly stripped)
+    # meshes and silently render geometry-free frames.
+    from rendering_tpu.render.integrator import _pallas_backend
+
+    use_pallas, _interp = _pallas_backend(settings)
+    assert use_pallas, (
+        "geo sharding requires the Pallas oracle (TPU backend, or "
+        "settings.pallas_interpret=True on CPU)"
+    )
     w, h = settings.width, settings.height
     g = dict(zip(mesh.axis_names, mesh.devices.shape))["geo"]
     ndev_r = dict(zip(mesh.axis_names, mesh.devices.shape))["rays"]
@@ -177,9 +197,11 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
     )
     vgeo_p = None
     if shade_sharded:
-        vgeo_p = pad_vgeo_for_shards(
-            jnp.concatenate([m.vgeoT for m in scene.meshes], axis=1), g
-        )
+        vt = [m.vgeoT for m in scene.meshes]
+        cat = (np.concatenate
+               if all(isinstance(v, np.ndarray) for v in vt)
+               else jnp.concatenate)
+        vgeo_p = pad_vgeo_for_shards(cat(vt, axis=1), g)
         scene0 = dataclasses.replace(
             scene0, meshes=tuple(_strip_mesh_heavy(m)
                                  for m in scene0.meshes)
@@ -261,8 +283,6 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
         check_vma=False,
     )(scene0, tables, xs, ys)
 
-    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
-    frame3 = flat[:, :r].reshape(3, h, w)
-    frame3 = frame3.at[:, h - 1, :].set(0.0)
-    frame3 = frame3.at[:, :, w - 1].set(0.0)
-    return frame3, stats
+    from rendering_tpu.parallel.shard import assemble_frame
+
+    return assemble_frame(accum3, perm, rp, r, w, h), stats

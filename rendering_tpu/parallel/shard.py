@@ -121,6 +121,17 @@ def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block,
     )(scene, xs, ys)
 
 
+def assemble_frame(accum3, perm, rp: int, r: int, w: int, h: int):
+    """Undo the round-robin tile permutation (slot k -> pixel perm[k]),
+    drop the padding, and black out the reference's dead last
+    row/column (scene.cpp:369-372). Shared by the ray-sharded and
+    geometry-sharded primary passes."""
+    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
+    frame3 = flat[:, :r].reshape(3, h, w)
+    frame3 = frame3.at[:, h - 1, :].set(0.0)
+    return frame3.at[:, :, w - 1].set(0.0)
+
+
 def _primary_sharded(scene, mesh: Mesh, *, ray_block, queue_headroom=1):
     st = scene.static
     w, h = st.settings.width, st.settings.height
@@ -138,12 +149,7 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block, queue_headroom=1):
     if st.settings.show_normals:
         stats["rays_casted"] = jnp.asarray(r, jnp.float32)
 
-    # Undo the round-robin tile permutation (slot k -> pixel perm[k]).
-    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
-    frame3 = flat[:, :r].reshape(3, h, w)
-    frame3 = frame3.at[:, h - 1, :].set(0.0)
-    frame3 = frame3.at[:, :, w - 1].set(0.0)
-    return frame3, stats
+    return assemble_frame(accum3, perm, rp, r, w, h), stats
 
 
 def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
