@@ -2,9 +2,11 @@
 workload (BASELINE.md / BASELINE.json north star), at BOTH mesh sizes:
 
   * 250k triangles (the README's "250,000 triangle" model,
-    /root/reference/README.md:69 — the north-star mesh size; the repo
-    ships only a 1.5k-triangle shotgun.obj, so the procedural flagship
-    mesh stands in at the same count), and
+    /root/reference/README.md:69 — the north-star mesh size), measured
+    on BOTH geometries: the bundled shotgun.obj subdivided+displaced to
+    250k REAL triangles (flagship.densify_mesh; the committed headline
+    when the two diverge >30%) and the procedural sphere mesh (the
+    cross-geometry floor), and
   * the bundled 1,539-triangle shotgun.obj size.
 
 Prints ONE JSON line. The headline metric/value/vs_baseline are the

@@ -159,9 +159,10 @@ void* rtn_load_obj(const char* path, const float* size3, const float* rmat9,
             const char* tok_end = p;
             while (*tok_end && *tok_end != ' ' && *tok_end != '\t')
                 tok_end++;
-            // Python float() rejects hex literals that strtof accepts.
+            // Python float() rejects hex literals and NaN payload
+            // forms ("nan(1)") that strtof accepts.
             for (const char* q = p; q < tok_end; q++)
-                if (*q == 'x' || *q == 'X') return false;
+                if (*q == 'x' || *q == 'X' || *q == '(') return false;
             char* endp = nullptr;
             out[k] = std::strtof(p, &endp);
             if (endp != tok_end) return false;  // partial/garbage token

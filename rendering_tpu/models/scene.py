@@ -259,9 +259,22 @@ def build_scene(sd: SceneDef, *,
     # bake_per_mesh_tables=True overrides the skip (the fused-vs-
     # per-mesh A/B harness strips fused_itables post-build and drives
     # the per-mesh loop directly).
-    auto_skip = sum(1 for o in sd.objects if o.kind == "mesh") >= 2
+    n_mesh_objs = sum(1 for o in sd.objects if o.kind == "mesh")
+    auto_skip = n_mesh_objs >= 2
     will_fuse = (auto_skip if bake_per_mesh_tables is None
                  else not bake_per_mesh_tables)
+    # The fused tables below are gated on >= 2 meshes (or geometry
+    # sharding); an explicit bake_per_mesh_tables=False on a scene that
+    # will not bake them either would leave meshes with NO kernel
+    # tables at all — the Pallas path would then try to build tables
+    # host-side under jit and fail far from the cause. Fail here.
+    if (bake_per_mesh_tables is False and n_mesh_objs
+            and not (n_mesh_objs >= 2 or st.geo_shard_axis is not None)):
+        raise ValueError(
+            "bake_per_mesh_tables=False on a single-mesh scene without "
+            "geometry sharding would leave the mesh with neither "
+            "per-mesh nor fused kernel tables"
+        )
 
     for o in sd.objects:
         mat_types.append(_MAT_IDS[o.material])
@@ -323,29 +336,34 @@ def build_scene(sd: SceneDef, *,
                 m.tangent.T,
                 m.bitangent.T,
             ], axis=0).copy()
+            # Under geometry sharding EVERY O(T) array stays a HOST
+            # numpy view until render time: the shade-sharded path
+            # shards vgeoT over 'geo' and strips the rest
+            # (parallel.geoshard), and even the table-sharded path only
+            # stages what shard_map's in_specs ask for. An unconditional
+            # jnp.asarray here would stage the full per-triangle payload
+            # (~30 f32/tri + BVH) on one device at BUILD time — a scene
+            # that exceeds one chip's HBM (the beyond-HBM target) would
+            # OOM before shard_map ever ran.
+            stage = ((lambda a: a) if st.geo_shard_axis is not None
+                     else jnp.asarray)
             meshes.append(
                 MeshData(
-                    v=jnp.asarray(m.v),
-                    n=jnp.asarray(m.n),
-                    uv=jnp.asarray(m.uv),
-                    tangent=jnp.asarray(m.tangent),
-                    bitangent=jnp.asarray(m.bitangent),
-                    # Host-side under geometry sharding: the
-                    # shade-sharded path concatenates and SHARDS the
-                    # global vgeoT over 'geo' (parallel.geoshard) — a
-                    # device copy here would stage the full (30, T)
-                    # table on one chip first.
-                    vgeoT=(vgeoT_np if st.geo_shard_axis is not None
-                           else jnp.asarray(vgeoT_np)),
-                    reach_lo=jnp.asarray(bvh.reach_lo),
-                    reach_hi=jnp.asarray(bvh.reach_hi),
-                    node_min=jnp.asarray(bvh.node_min),
-                    node_max=jnp.asarray(bvh.node_max),
-                    skip=jnp.asarray(bvh.skip),
-                    leaf_start=jnp.asarray(bvh.leaf_start),
-                    leaf_count=jnp.asarray(bvh.leaf_count),
-                    real_flag=jnp.asarray(bvh.real_flag),
-                    leaf_tris=jnp.asarray(bvh.leaf_tris),
+                    v=stage(m.v),
+                    n=stage(m.n),
+                    uv=stage(m.uv),
+                    tangent=stage(m.tangent),
+                    bitangent=stage(m.bitangent),
+                    vgeoT=stage(vgeoT_np),
+                    reach_lo=stage(bvh.reach_lo),
+                    reach_hi=stage(bvh.reach_hi),
+                    node_min=stage(bvh.node_min),
+                    node_max=stage(bvh.node_max),
+                    skip=stage(bvh.skip),
+                    leaf_start=stage(bvh.leaf_start),
+                    leaf_count=stage(bvh.leaf_count),
+                    real_flag=stage(bvh.real_flag),
+                    leaf_tris=stage(bvh.leaf_tris),
                     diffuse_map=(
                         jnp.asarray(o.diffuse_map) if o.diffuse_map is not None else None
                     ),

@@ -194,7 +194,7 @@ def test_native_empty_trailing_fields_match_python(tmp_path):
 
 
 @pytest.mark.parametrize("vline", ["v 1 2", "v 1 2 3x", "vn 1 2",
-                                   "vt 0.5"])
+                                   "vt 0.5", "v nan(1) 0 0"])
 def test_native_malformed_vertex_lines_error_like_python(tmp_path, vline):
     """Malformed v/vn/vt lines raise in the Python loader; the native
     loader must signal a parse error (None -> the dispatch falls back
