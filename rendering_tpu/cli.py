@@ -41,11 +41,33 @@ def main(argv=None) -> int:
         help="force a single-device render even when multiple "
              "accelerator devices are visible",
     )
+    p.add_argument(
+        "--geo-shard", type=int, default=0, metavar="G",
+        help="shard the GEOMETRY over G devices (beyond-HBM scenes): "
+             "rays shard over the remaining ndev/G axis; requires G to "
+             "divide the visible device count. Nothing O(triangles) is "
+             "replicated (tables + shading data each device holds 1/G)",
+    )
     args = p.parse_args(argv)
 
     total = Timer("Total time")
     t_load = Timer("Scene loading")
-    scene = load_scene(args.scene)
+    base_settings = None
+    if args.geo_shard:
+        import jax
+
+        from rendering_tpu.models.settings import RenderSettings
+
+        # Build-time setting: the cross-shard combines are traced into
+        # the bounce loop and every O(T) array stays host-side numpy
+        # until shard_map stages each device's shard. Off-TPU the fused
+        # oracle needs interpreter-mode Pallas (the same seam the test
+        # suite uses on the virtual CPU mesh).
+        base_settings = RenderSettings(
+            geo_shard_axis="geo",
+            pallas_interpret=jax.default_backend() != "tpu",
+        )
+    scene = load_scene(args.scene, base_settings)
     settings = scene.static.settings
     t_load.enable_output = settings.enable_output
     total.enable_output = settings.enable_output
@@ -62,6 +84,24 @@ def main(argv=None) -> int:
         # render sharded with the same once-per-second % prints.
         import jax
 
+        if args.geo_shard:
+            from rendering_tpu.parallel.geoshard import (
+                make_geo_mesh,
+                render_geo_sharded,
+            )
+
+            assert jax.device_count() % args.geo_shard == 0, (
+                f"--geo-shard {args.geo_shard} must divide the "
+                f"{jax.device_count()} visible devices"
+            )
+            gmesh = make_geo_mesh(n_geo=args.geo_shard)
+            if settings.output_progress and not settings.show_ac:
+                from rendering_tpu.render.pipeline import (
+                    render_with_progress,
+                )
+
+                return render_with_progress(scene, mesh=gmesh)
+            return render_geo_sharded(scene, gmesh, out_u8=True)
         if jax.device_count() > 1 and not args.no_shard:
             from rendering_tpu.parallel.shard import (
                 make_ray_mesh,

@@ -339,6 +339,7 @@ def build_flagship_scene(
     enable_ssaa: bool = False,
     with_maps: bool = True,
     real_geometry: bool = False,
+    settings_overrides: dict | None = None,
 ) -> SceneData:
     """shotgun.scene workload (input/shotgun.scene): phong mesh +
     point/distant lights, ac_penalty=3. Falls back to a procedural mesh
@@ -355,6 +356,10 @@ def build_flagship_scene(
         enable_output=False, output_progress=False,
         image_name="shotgun_bench",
     )
+    if settings_overrides:
+        # Build-time settings (e.g. geo_shard_axis changes table baking
+        # and host-vs-device staging; post-build surgery can't).
+        st = st.replace(**settings_overrides)
     sd = SceneDef(settings=st)
     sd.lights = [
         LightDef("point", color=(1, 1, 1), intensity=1.0, pos=(0, 0, 0)),
@@ -432,6 +437,7 @@ def build_multimesh_scene(
     tris_per_mesh: int | None = None,
     max_ray_depth: int = 10,
     bake_per_mesh_tables: bool | None = None,
+    settings_overrides: dict | None = None,
 ) -> SceneData:
     """N-mesh stress scene (VERDICT r3 #1: the per-mesh dispatch loop
     must not scale with mesh count): a grid of bunny instances
@@ -446,6 +452,8 @@ def build_multimesh_scene(
         enable_output=False, output_progress=False,
         max_ray_depth=max_ray_depth, image_name="multimesh_bench",
     )
+    if settings_overrides:
+        st = st.replace(**settings_overrides)
     sd = SceneDef(settings=st)
     sd.lights = [
         LightDef("point", color=(1, 1, 1), intensity=1.0, pos=(0, 2, 0)),

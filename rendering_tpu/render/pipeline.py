@@ -370,14 +370,22 @@ def warn_dropped_paths(stats) -> None:
 @functools.lru_cache(maxsize=16)
 def _make_strip_fns(mesh, ray_block, queue_headroom=1):
     """(strip_fn, ssaa_fn) for the strip-rendering paths: single-device
-    when mesh is None, shard_map'd over the mesh otherwise. Same
-    contracts either way.
+    when mesh is None, shard_map'd over a 1-D ('rays',) mesh, or
+    geometry-sharded over a 2-D ('rays', 'geo') mesh. Same contracts
+    either way: strip_fn(scene, y0=, rows=) -> (strip accum, stats),
+    ssaa_fn(scene, frame3, capacity) -> (frame3, n_masked, stats) —
+    each variant owns its gather-table derivation (the geo-sharded one
+    must NOT derive eagerly: that would stage O(T) arrays whole).
 
     Only `rows` is a static jit argument — y0 enters the row indices
     additively, so it traces as a scalar and a whole-frame strip render
     compiles at most TWO programs (full strip + tail strip) instead of
     one per strip; the lru_cache reuses the jit wrappers (and their
     compile cache) across renders."""
+    if mesh is not None and "geo" in mesh.axis_names:
+        from rendering_tpu.parallel.geoshard import make_geo_strip_fns
+
+        return make_geo_strip_fns(mesh, ray_block, queue_headroom)
     if mesh is None:
         strip_fn = jax.jit(
             functools.partial(_render_strip, ray_block=ray_block,
@@ -385,9 +393,9 @@ def _make_strip_fns(mesh, ray_block, queue_headroom=1):
             static_argnames=("rows",),
         )
 
-        def ssaa_fn(scene_t, frame3, capacity):
-            return _ssaa_pass(scene_t, frame3, capacity=capacity,
-                              ray_block=ray_block,
+        def ssaa_fn(scene, frame3, capacity):
+            return _ssaa_pass(derive_mesh_tables(scene), frame3,
+                              capacity=capacity, ray_block=ray_block,
                               queue_headroom=queue_headroom)
 
         return strip_fn, ssaa_fn
@@ -404,9 +412,9 @@ def _make_strip_fns(mesh, ray_block, queue_headroom=1):
         static_argnames=("rows",),
     )
 
-    def ssaa_fn(scene_t, frame3, capacity):
-        return ssaa_pass_sharded(scene_t, frame3, mesh, capacity=capacity,
-                                 ray_block=ray_block,
+    def ssaa_fn(scene, frame3, capacity):
+        return ssaa_pass_sharded(derive_mesh_tables(scene), frame3, mesh,
+                                 capacity=capacity, ray_block=ray_block,
                                  queue_headroom=queue_headroom)
 
     return strip_fn, ssaa_fn
@@ -438,7 +446,14 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         # showAC skips strips and SSAA (scene.cpp:607-635 renders the
         # whole heatmap in one pass); delegate so the output matches
         # render() instead of silently rendering the normal image.
-        if mesh is not None:
+        if mesh is not None and "geo" in mesh.axis_names:
+            from rendering_tpu.parallel.geoshard import (
+                render_scene_geo_sharded,
+            )
+
+            frame3, aux = render_scene_geo_sharded(scene, mesh,
+                                                   ray_block=ray_block)
+        elif mesh is not None:
             from rendering_tpu.parallel.shard import _cached_sharded_fn
 
             frame3, aux = _cached_sharded_fn(mesh, ray_block)(scene)
@@ -458,17 +473,36 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     coef = 100.0 / (w * h)
     strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
     stats_acc = {k: 0.0 for k in _zero_stats()}
-    for s in range(n_strips):
-        y0 = s * strip_rows
-        rows = min(strip_rows, h - y0)
-        part, s_stats = strip_fn(scene, y0=y0, rows=rows)
-        accum3[:, y0 * w : y0 * w + rows * w] = np.asarray(part)
+
+    # Pipelined strips: strip k+1 is DISPATCHED (JAX dispatch is
+    # asynchronous) before strip k's device->host pull, so the chip
+    # computes the next strip while the host drains the previous one —
+    # the same depth-2 overlap as animation.render_frames_pipelined,
+    # per strip instead of per frame. Output is unchanged: each strip's
+    # program is identical, only the np.asarray sync moves. On a
+    # tunnel-attached chip the pull is a large fraction of a strip, so
+    # the default CLI path (outputProgress=1) stops paying
+    # n_strips x pull serially.
+    def drain(p):
+        nonlocal done_px, last
+        y0p, rowsp, part, s_stats = p
+        accum3[:, y0p * w : y0p * w + rowsp * w] = np.asarray(part)
         for k in stats_acc:
             stats_acc[k] += float(s_stats[k])
-        done_px += rows * w
+        done_px += rowsp * w
         if (now() - last) > 1.0:
             _print(f"{coef * done_px:2.0f}%")
             last = now()
+
+    pending = None
+    for s in range(n_strips):
+        y0 = s * strip_rows
+        rows = min(strip_rows, h - y0)
+        out = strip_fn(scene, y0=y0, rows=rows)
+        if pending is not None:
+            drain(pending)
+        pending = (y0, rows, *out)
+    drain(pending)
 
     frame3, n_masked = _finish_strips(scene, accum3, stats_acc, ssaa_fn,
                                       timers=True)
@@ -514,13 +548,12 @@ def _finish_strips(scene, accum3, stats_acc, ssaa_fn, *, timers: bool):
             t_sobel.stop(jax.jit(sobel_mask)(frame3))
         t_msaa = Timer("MSAA", show)
         capacity = max(1, int(w * h * st.ssaa_capacity_fraction))
-        scene_t = derive_mesh_tables(scene)
         base3 = frame3
-        frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
+        frame3, n_masked, s2 = ssaa_fn(scene, base3, capacity)
         if int(n_masked) > capacity:  # auto-escalate: exact refinement
             capacity = min(w * h,
                            1 << (max(int(n_masked), 2) - 1).bit_length())
-            frame3, n_masked, s2 = ssaa_fn(scene_t, base3, capacity)
+            frame3, n_masked, s2 = ssaa_fn(scene, base3, capacity)
         t_msaa.stop(frame3)
         for k in stats_acc:
             stats_acc[k] += float(s2[k])
@@ -532,9 +565,16 @@ def _scene_fingerprint(scene) -> np.int64:
     static config repr + every leaf's shape/dtype + the BYTES of small
     leaves (lights, materials, camera — the things a user typically
     edits between runs). Large leaves (mesh vertices, textures)
-    contribute shape/dtype only: pulling a device array back through a
-    remote TPU tunnel costs ~35 s per 9 MB, so hashing their bytes
-    would dwarf the render being protected."""
+    contribute a content SAMPLE instead of their full bytes — head +
+    tail + a 4096-point stride and an f32 sum, each a tiny pull —
+    because pulling a whole device array back through a remote TPU
+    tunnel costs ~35 s per 9 MB, which would dwarf the render being
+    protected. The sample catches the realistic edits (moving a mesh
+    rewrites every baked vertex; retexturing rewrites every texel;
+    the sum catches uniform shifts the stride could straddle); an
+    adversarial edit that preserves all 8K sampled elements AND the
+    f32 sum can still slip through — this is validation, not
+    authentication."""
     import hashlib
 
     import numpy as np
@@ -552,6 +592,20 @@ def _scene_fingerprint(scene) -> np.int64:
             small = True
         if small:
             h.update(np.asarray(leaf).tobytes())
+        else:
+            flat = leaf.reshape(-1)
+            stride = max(1, size // 4096)
+            # Each np.asarray pulls only the sliced result (slices
+            # execute device-side); the sum reduces on device too.
+            h.update(np.asarray(flat[:2048]).tobytes())
+            h.update(np.asarray(flat[-2048:]).tobytes())
+            h.update(np.asarray(flat[::stride][:4096]).tobytes())
+            if np.issubdtype(np.dtype(dtype), np.floating):
+                if isinstance(leaf, np.ndarray):
+                    s = np.float32(leaf.sum(dtype=np.float64))
+                else:
+                    s = np.asarray(jnp.sum(leaf, dtype=jnp.float32))
+                h.update(np.asarray(s, np.float32).tobytes())
     return np.frombuffer(h.digest()[:8], dtype=np.int64)[0]
 
 
@@ -589,7 +643,14 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     if st.show_ac:
         # showAC is a single whole-frame debug pass (no strips, no
         # SSAA) — delegate instead of stripping the normal image.
-        if mesh is not None:
+        if mesh is not None and "geo" in mesh.axis_names:
+            from rendering_tpu.parallel.geoshard import (
+                render_scene_geo_sharded,
+            )
+
+            frame3, aux = render_scene_geo_sharded(scene, mesh,
+                                                   ray_block=ray_block)
+        elif mesh is not None:
             from rendering_tpu.parallel.shard import _cached_sharded_fn
 
             frame3, aux = _cached_sharded_fn(mesh, ray_block)(scene)
@@ -647,21 +708,36 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             )
 
     strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
+
+    # Pipelined like render_with_progress: strip k+1 dispatches before
+    # strip k's pull + checkpoint write. The checkpoint still only
+    # marks a strip done AFTER its pixels are host-side — a preemption
+    # between dispatch and drain loses exactly that strip, the same
+    # window the serial loop had mid-pull.
+    def drain(p):
+        s_idx, y0p, rowsp, part, s_stats = p
+        accum3[:, y0p * w : y0p * w + rowsp * w] = np.asarray(part)
+        for k in stats_acc:
+            stats_acc[k] += float(s_stats[k])
+        done[s_idx] = True
+        save_checkpoint(checkpoint_path, s_idx + 1, {}, {}, frame=accum3,
+                        tile_mask=done,
+                        meta={"scene_fp": fp,
+                              "queue_headroom": queue_headroom,
+                              **stats_acc})
+
+    pending = None
     for s in range(n_strips):
         if done[s]:
             continue
         y0 = s * strip_rows
         rows = min(strip_rows, h - y0)
-        part, s_stats = strip_fn(scene, y0=y0, rows=rows)
-        accum3[:, y0 * w : y0 * w + rows * w] = np.asarray(part)
-        for k in stats_acc:
-            stats_acc[k] += float(s_stats[k])
-        done[s] = True
-        save_checkpoint(checkpoint_path, s + 1, {}, {}, frame=accum3,
-                        tile_mask=done,
-                        meta={"scene_fp": fp,
-                              "queue_headroom": queue_headroom,
-                              **stats_acc})
+        out = strip_fn(scene, y0=y0, rows=rows)
+        if pending is not None:
+            drain(pending)
+        pending = (s, y0, rows, *out)
+    if pending is not None:
+        drain(pending)
 
     frame3, n_masked = _finish_strips(scene, accum3, stats_acc, ssaa_fn,
                                       timers=False)

@@ -74,11 +74,11 @@ def test_geo_sharded_matches_replicated(shape):
     # cross-shard reduction.
     ref_mesh = make_geo_mesh(jax.devices()[:8], n_geo=1)
     f0, _ = render_scene_geo_sharded(sharded, ref_mesh)
-    f1, stats = render_scene_geo_sharded(sharded, mesh)
+    f1, aux = render_scene_geo_sharded(sharded, mesh)
     a = quantize_reference(np.asarray(f0).transpose(1, 2, 0))
     b = quantize_reference(np.asarray(f1).transpose(1, 2, 0))
     np.testing.assert_array_equal(a, b)
-    assert float(stats["rays_casted"]) > 0
+    assert float(aux["stats"]["rays_casted"]) > 0
 
     # Sanity anchor: the unsharded tiled render agrees except (at
     # most) isolated knife-edge pixels (its primary raygen differs by
@@ -102,12 +102,213 @@ def test_shade_sharded_matches(shape):
     _, sharded = _scenes(n_meshes=3, tris_per_mesh=90)
 
     f0, _ = render_scene_geo_sharded(sharded, mesh)
-    f1, stats = render_scene_geo_sharded(sharded, mesh,
-                                         shade_sharded=True)
+    f1, aux = render_scene_geo_sharded(sharded, mesh,
+                                       shade_sharded=True)
     a = quantize_reference(np.asarray(f0).transpose(1, 2, 0))
     b = quantize_reference(np.asarray(f1).transpose(1, 2, 0))
     np.testing.assert_array_equal(a, b)
-    assert float(stats["rays_casted"]) > 0
+    assert float(aux["stats"]["rays_casted"]) > 0
+
+
+def _with_settings(scene, **kw):
+    st = scene.static
+    return dataclasses.replace(
+        scene,
+        static=dataclasses.replace(st, settings=st.settings.replace(**kw)),
+    )
+
+
+@pytest.mark.parametrize("shade_sharded", [False, True])
+def test_geo_ssaa_matches(shade_sharded):
+    """Adaptive SSAA on the geo-sharded path: refinement rays trace
+    against the sharded tables (combine inside the integrator) and the
+    refined frame must match the 1-geo-shard run u8-exactly."""
+    _, sharded = _scenes(n_meshes=2, tris_per_mesh=90)
+    sharded = _with_settings(sharded, enable_ssaa=True,
+                             ssaa_capacity_fraction=1.0)
+    ref_mesh = make_geo_mesh(jax.devices()[:4], n_geo=1)
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+    f0, aux0 = render_scene_geo_sharded(sharded, ref_mesh)
+    f1, aux1 = render_scene_geo_sharded(sharded, mesh,
+                                        shade_sharded=shade_sharded)
+    assert int(aux0["ssaa_masked"]) > 0  # the pass actually refined
+    assert int(aux1["ssaa_masked"]) == int(aux0["ssaa_masked"])
+    a = quantize_reference(np.asarray(f0).transpose(1, 2, 0))
+    b = quantize_reference(np.asarray(f1).transpose(1, 2, 0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_geo_show_normals_matches():
+    """showNormals on the geo-sharded path: the first-hit normal frame
+    must match the 1-geo-shard run u8-exactly (the hit combine across
+    'geo' feeds surface_data the same winner rows)."""
+    _, sharded = _scenes(n_meshes=2, tris_per_mesh=90)
+    sharded = _with_settings(sharded, show_normals=True)
+    ref_mesh = make_geo_mesh(jax.devices()[:4], n_geo=1)
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+    f0, _ = render_scene_geo_sharded(sharded, ref_mesh)
+    f1, aux = render_scene_geo_sharded(sharded, mesh, shade_sharded=True)
+    assert float(aux["stats"]["rays_casted"]) > 0
+    a = quantize_reference(np.asarray(f0).transpose(1, 2, 0))
+    b = quantize_reference(np.asarray(f1).transpose(1, 2, 0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_geo_show_ac_matches():
+    """showAC on the geo-sharded path: the BVH node-visit heatmap
+    (counts are exact integers) must equal the unsharded render_scene
+    heatmap bit-for-bit."""
+    ref, sharded = _scenes(n_meshes=2, tris_per_mesh=90)
+    ref = _with_settings(ref, show_ac=True)
+    sharded = _with_settings(sharded, show_ac=True)
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+    f0, _ = render_scene(ref)
+    f1, aux = render_scene_geo_sharded(sharded, mesh)
+    assert int(aux["ssaa_masked"]) == 0
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_geo_host_wrapper_and_u8():
+    """render_geo_sharded returns the host (H, W, 3) frame with the
+    escalation wrapper; out_u8 returns exactly the BMP writer's codes
+    for the f32 frame."""
+    from rendering_tpu.parallel.geoshard import render_geo_sharded
+
+    _, sharded = _scenes(n_meshes=2, tris_per_mesh=90)
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+    f32_frame, _ = render_geo_sharded(sharded, mesh)
+    u8_frame, _ = render_geo_sharded(sharded, mesh, out_u8=True)
+    np.testing.assert_array_equal(quantize_reference(f32_frame), u8_frame)
+
+
+@pytest.mark.slow
+def test_geo_progress_and_resumable_strips(tmp_path):
+    """The progress / resumable strip loops route a 2-D ('rays',
+    'geo') mesh to the geo-sharded strip renderer (pipeline
+    _make_strip_fns): output must match the one-shot geo-sharded
+    render (same pixel_dirs raygen, disjoint strip queues), the SSAA
+    tail must run sharded, and a finished checkpoint must replay
+    identically."""
+    from rendering_tpu.render.pipeline import (
+        render_resumable,
+        render_with_progress,
+    )
+
+    _, sharded = _scenes(n_meshes=2, tris_per_mesh=90)
+    sharded = _with_settings(sharded, enable_ssaa=True,
+                             ssaa_capacity_fraction=1.0)
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+
+    f_ref, aux_ref = render_scene_geo_sharded(sharded, mesh,
+                                              shade_sharded=True)
+    f_ref = np.asarray(f_ref).transpose(1, 2, 0)
+
+    lines = []
+    f_prog, aux = render_with_progress(sharded, strip_rows=16, mesh=mesh,
+                                       _print=lines.append)
+    np.testing.assert_allclose(f_ref, f_prog, atol=2e-6, rtol=3e-4)
+    assert aux["stats"]["rays_casted"] > 0
+
+    ck = str(tmp_path / "geo.npz")
+    f_res, _ = render_resumable(sharded, ck, strip_rows=16, mesh=mesh)
+    np.testing.assert_allclose(f_ref, f_res, atol=2e-6, rtol=3e-4)
+    f_res2, _ = render_resumable(sharded, ck, strip_rows=16, mesh=mesh)
+    np.testing.assert_array_equal(f_res, f_res2)
+
+
+@pytest.mark.slow
+def test_geo_memory_accounting_scales_1M():
+    """The beyond-HBM claim, measured from staged device buffers at
+    1M triangles: per-device sharded bytes are exactly the 1/G slice
+    (tables padded G-divisible), they halve when G doubles, and the
+    replicated remainder is O(1) in triangle count (the same bytes a
+    100x smaller scene replicates, within small padding slack)."""
+    from rendering_tpu.flagship import build_flagship_scene
+    from rendering_tpu.parallel.geoshard import geo_shard_memory_accounting
+
+    def build(n):
+        return build_flagship_scene(
+            32, 24, n_tris=n, with_maps=False,
+            settings_overrides=dict(pallas_interpret=True,
+                                    geo_shard_axis="geo"),
+        )
+
+    big = build(1_000_000)
+    t_total = sum(ms.n_tris for ms in big.static.meshes)
+    assert t_total >= 1_000_000
+
+    mesh8 = make_geo_mesh(jax.devices()[:8], n_geo=8)
+    mesh4 = make_geo_mesh(jax.devices()[:4], n_geo=4)
+    acc8 = geo_shard_memory_accounting(big, mesh8)
+    acc4 = geo_shard_memory_accounting(big, mesh4)
+
+    # Each device holds exactly its 1/G table slice.
+    assert acc8["sharded_bytes_device0"] <= (
+        acc8["sharded_bytes_total"] // 8 + 4096
+    )
+    # ~1/G scaling: G 4 -> 8 halves the per-device sharded bytes.
+    ratio = acc4["sharded_bytes_device0"] / acc8["sharded_bytes_device0"]
+    assert 1.9 < ratio < 2.1, ratio
+    # The sharded payload really is the O(T) scene: >= 100 B/tri
+    # (16 f32 kernel rows + 30 f32 vgeoT + idmap, before box tables).
+    assert acc8["sharded_bytes_total"] > 100 * t_total
+
+    # Replicated remainder is O(1) in T: a 100x smaller scene
+    # replicates the same bytes (only zero-size strips + small leaves).
+    small = build(10_000)
+    acc_small = geo_shard_memory_accounting(small, mesh8)
+    assert (abs(acc8["replicated_bytes_device0"]
+                - acc_small["replicated_bytes_device0"])
+            < 262_144)
+    # ... and it is a rounding error next to one device's shard.
+    assert (acc8["replicated_bytes_device0"]
+            < 0.05 * acc8["sharded_bytes_device0"])
+
+
+def test_geo_shard_build_stages_nothing_per_triangle_on_device():
+    """A scene BUILT with geo_shard_axis='geo' must keep every O(T)
+    array HOST-side (numpy): the beyond-HBM mode's whole point is that
+    a scene too big for one device's HBM never gets staged whole —
+    shard_map's in_specs transfer each device only its shard at render
+    time, and _strip_mesh_heavy replaces the rest. An unconditional
+    device copy at build time would OOM before shard_map ever ran."""
+    from rendering_tpu.flagship import build_multimesh_scene
+
+    scene = build_multimesh_scene(
+        32, 24, n_meshes=2, tris_per_mesh=60,
+        settings_overrides=dict(pallas_interpret=True,
+                                geo_shard_axis="geo"),
+    )
+    per_tri = ("v", "n", "uv", "tangent", "bitangent", "vgeoT",
+               "reach_lo", "reach_hi", "node_min", "node_max", "skip",
+               "leaf_start", "leaf_count", "real_flag", "leaf_tris")
+    for m in scene.meshes:
+        for name in per_tri:
+            arr = getattr(m, name)
+            assert isinstance(arr, np.ndarray), (
+                f"MeshData.{name} staged on device at build time"
+            )
+    ft = scene.fused_itables
+    for arr in (ft.geo.tri, ft.geo.cbox, ft.geo.sbox, ft.idmap):
+        assert isinstance(arr, np.ndarray)
+    # ... and the scene still renders (staging happens at render time).
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+    frame3, aux = render_scene_geo_sharded(scene, mesh,
+                                           shade_sharded=True)
+    assert float(aux["stats"]["rays_casted"]) > 0
+    assert np.isfinite(np.asarray(frame3)).all()
+
+
+def test_bake_per_mesh_tables_false_single_mesh_raises():
+    """bake_per_mesh_tables=False on a single-mesh scene without geo
+    sharding would leave the mesh with NO kernel tables (fused baking
+    is gated on >= 2 meshes) — build_scene must fail loudly instead of
+    letting the Pallas path crash building tables under jit."""
+    from rendering_tpu.flagship import build_multimesh_scene
+
+    with pytest.raises(ValueError, match="neither per-mesh nor fused"):
+        build_multimesh_scene(32, 24, n_meshes=1, tris_per_mesh=60,
+                              bake_per_mesh_tables=False)
 
 
 def test_pad_vgeo_for_shards():

@@ -139,6 +139,47 @@ def test_resumable_rejects_stale_scene_checkpoint(in_workspace, tmp_path):
     assert aux_a2["stats"]["rays_casted"] >= aux_a["stats"]["rays_casted"]
 
 
+def test_fingerprint_detects_large_leaf_edits():
+    """Moving a mesh rewrites the baked vertex arrays but not their
+    shape/dtype — a shape-only fingerprint would silently serve a
+    stale checkpoint as finished pixels. Large leaves must contribute
+    a content sample: a uniform translate, a single-element interior
+    edit (stride sample / sum), and a texel repaint must all change
+    the hash; recomputing on the identical scene must not."""
+    import jax.numpy as jnp
+
+    from rendering_tpu.flagship import build_flagship_scene
+    from rendering_tpu.render.pipeline import _scene_fingerprint
+
+    scene = build_flagship_scene(32, 24, n_tris=4096)
+    m = scene.meshes[0]
+    assert m.v.size * 4 > 65536  # actually exercises the large path
+
+    fp0 = _scene_fingerprint(scene)
+    assert fp0 == _scene_fingerprint(scene)  # deterministic
+
+    moved = dataclasses.replace(
+        scene, meshes=(dataclasses.replace(m, v=m.v + 0.01),)
+    )
+    assert _scene_fingerprint(moved) != fp0
+
+    # Interior single-triangle edit (away from head/tail windows).
+    v2 = m.v.at[m.v.shape[0] // 2, 1, 1].add(0.25)
+    edited = dataclasses.replace(
+        scene, meshes=(dataclasses.replace(m, v=v2),)
+    )
+    assert _scene_fingerprint(edited) != fp0
+
+    if m.diffuse_map is not None:
+        repainted = dataclasses.replace(
+            scene,
+            meshes=(dataclasses.replace(
+                m, diffuse_map=jnp.clip(m.diffuse_map * 0.5, 0, 1)
+            ),),
+        )
+        assert _scene_fingerprint(repainted) != fp0
+
+
 def test_strip_render_compiles_one_program_per_rows_shape(in_workspace):
     """y0 is a TRACED scalar in the strip functions: a whole-frame
     strip render must compile at most two programs (full strip + tail

@@ -45,6 +45,26 @@ def time_render(scene, reps: int, out_u8: bool = False) -> float:
     return best
 
 
+def time_progress(scene, reps: int, strip_rows: int = 128) -> float:
+    """The DEFAULT CLI path (outputProgress=1): strip-rendered frame
+    with pipelined device->host pulls (strip k+1 dispatches before
+    strip k's pull). Frame equality with render() is pinned by
+    tests/test_progress.py; this measures its wall-clock."""
+    from rendering_tpu.render.pipeline import render_with_progress
+
+    def once():
+        return render_with_progress(scene, strip_rows=strip_rows,
+                                    _print=lambda *_: None)
+
+    once()  # warmup: compile strip + tail + SSAA programs
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        once()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> int:
     from rendering_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -68,6 +88,7 @@ def main() -> int:
                              enable_ssaa=False),
         reps,
     )
+    progress_s = time_progress(scene_on, reps)
     print(json.dumps({
         "metric": f"e2e_frame_seconds_{n_tris // 1000}k_{width}x{height}",
         "value": round(ssaa_on, 4),
@@ -77,6 +98,8 @@ def main() -> int:
         "u8_pull_vs_baseline": round(baseline_s / u8_s, 2),
         "ssaa_off_seconds": round(ssaa_off, 4),
         "ssaa_off_vs_baseline": round(baseline_s / ssaa_off, 2),
+        "progress_strips_seconds": round(progress_s, 4),
+        "progress_strips_vs_baseline": round(baseline_s / progress_s, 2),
     }))
     return 0
 

@@ -154,11 +154,71 @@ def check_sharded_lane() -> bool:
     return equal
 
 
+def check_geoshard_lane() -> bool:
+    """Geometry sharding composed ON THE REAL CHIP: the full
+    feature-complete geo path (fused tables through shard_map over a
+    ('rays','geo') mesh, SSAA refinement, shade-sharded beyond-HBM
+    mode) over a 1x1 mesh must equal the 1-D-sharded TPU render
+    u8-exactly (both use pixel_dirs raygen). One physical chip can
+    only validate the G=1 degenerate combine; the cross-shard
+    reduction itself is pinned u8-exact on the virtual 8-device mesh
+    (tests/test_geoshard.py)."""
+    import dataclasses
+
+    import jax
+
+    from rendering_tpu.flagship import build_multimesh_scene
+    from rendering_tpu.parallel.geoshard import (
+        make_geo_mesh,
+        render_scene_geo_sharded,
+    )
+    from rendering_tpu.parallel.shard import (
+        make_ray_mesh,
+        render_scene_sharded,
+    )
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    scene = build_multimesh_scene(256, 128, n_meshes=2,
+                                  tris_per_mesh=2000)
+    st = scene.static
+    scene_g = dataclasses.replace(
+        scene,
+        static=dataclasses.replace(
+            st, settings=st.settings.replace(geo_shard_axis="geo",
+                                             enable_ssaa=True)
+        ),
+    )
+    scene_r = dataclasses.replace(
+        scene,
+        static=dataclasses.replace(
+            st, settings=st.settings.replace(enable_ssaa=True)
+        ),
+    )
+    mesh1 = make_ray_mesh(jax.devices()[:1])
+    gmesh = make_geo_mesh(jax.devices()[:1], n_geo=1)
+    a = np.asarray(jax.jit(
+        lambda s: render_scene_sharded(s, mesh1, out_u8=True)[0]
+    )(scene_r))
+    b = np.asarray(render_scene_geo_sharded(scene_g, gmesh,
+                                            out_u8=True)[0])
+    c = np.asarray(render_scene_geo_sharded(scene_g, gmesh,
+                                            shade_sharded=True,
+                                            out_u8=True)[0])
+    equal = bool((a == b).all()) and bool((b == c).all())
+    print(
+        f"geoshard lane (1x1 mesh, fused+SSAA+shade-shard on chip): "
+        f"u8-equal={equal} -> {'OK' if equal else 'FAIL'}",
+        flush=True,
+    )
+    return equal
+
+
 def main_() -> int:
     scenes = sys.argv[1:] or DEFAULT_SCENES
     setup_workspace()
     ok = check_stats_kernel()
     ok = check_sharded_lane() and ok
+    ok = check_geoshard_lane() and ok
     for s in scenes:
         ok = check_scene(s) and ok
     print("ALL OK" if ok else "FAILURES", flush=True)
