@@ -91,6 +91,16 @@ class RenderSettings:
     # closest-hit tables (default — the measured optimum so far).
     anyhit_tri_chunk: int = 0
     anyhit_n_sub: int = 0
+    # Two-phase any-hit with mid-pass shadow-ray compaction (the one
+    # structural lever VERDICT r4's roofline arithmetic pointed at):
+    # phase 1 runs the query against the first frac*Cs super chunks,
+    # then UNRESOLVED rays are repacked densely (a cumsum permutation,
+    # no sort) so the long unoccluded tail occupies a fraction of the
+    # ray tiles and the per-tile pre-cull retires the rest; phase 2
+    # covers the remaining supers. 0.0 = single-pass (default; the
+    # on-chip A/B in docs/PERF.md adjudicates). Per-mesh Pallas
+    # any-hit path only.
+    anyhit_compact_frac: float = 0.0
     # Static capacity of the SSAA refinement queue as a fraction of the
     # pixel count. Edge pixels are compacted to this many slots; if the
     # Sobel mask exceeds it, the overflow count is reported host-side.

@@ -925,6 +925,78 @@ def bruteforce_mesh_pallas(
     return t_best, tri_best, box_tests, tri_tests
 
 
+def _slice_tables_supers(t: IntersectTables, lo: int,
+                         hi: int) -> IntersectTables:
+    """Static super-chunk range [lo, hi) of a table set — the kernel
+    is shard-size-agnostic (see parallel.geoshard), so a slice is a
+    smaller, self-contained table. perm is dropped: slices are only
+    used for any-hit queries, which never map triangle ids back."""
+    return IntersectTables(
+        t.tri_chunk, t.n_sub, None,
+        t.tri[lo:hi],
+        t.cbox[lo * t.n_sub: hi * t.n_sub],
+        t.sbox[lo:hi],
+    )
+
+
+def anyhit_two_phase(mesh, tables: IntersectTables, ro3, rd3, t_limit,
+                     *, frac: float, backface_culling: bool,
+                     use_root_filter: bool, collect_stats: bool,
+                     interpret: bool):
+    """Two-phase any-hit with mid-pass shadow-ray compaction
+    (settings.anyhit_compact_frac; VERDICT r4 next-step 3).
+
+    Phase 1 queries the first round(frac*Cs) super chunks. Rays it
+    occludes are RETIRED: the survivors are repacked densely via a
+    cumsum permutation (unresolved lanes first — scatter, not sort),
+    so in phase 2 (the remaining supers) the resolved majority
+    occupies trailing all-dead ray tiles whose t_limit = -1 generates
+    ZERO live (tile, super) pairs in the exact pre-cull — the kernel's
+    work shrinks with the resolved fraction instead of its tile
+    coverage. Returns (tri, box_tests, tri_tests) with the
+    bruteforce_mesh_pallas any-hit contract (tri >= 0 = occluded).
+
+    The permutation costs two (3, Q) scatters + one gather per mesh
+    query; the A/B against the single-pass kernel lives in
+    tools/bench_anyhit_ab.py --compact (docs/PERF.md adjudicates)."""
+    cs = tables.sbox.shape[0]
+    k = max(1, min(cs - 1, int(round(cs * frac))))
+    q = ro3.shape[1]
+    kw = dict(mode="any", rays_row=True,
+              backface_culling=backface_culling,
+              use_root_filter=use_root_filter,
+              collect_stats=collect_stats, interpret=interpret)
+    t1 = _slice_tables_supers(tables, 0, k)
+    _, tri1, bt1, tt1 = bruteforce_mesh_pallas(
+        mesh, ro3, rd3, t_limit, tables=t1, tri_chunk=t1.tri_chunk, **kw
+    )
+    occ1 = tri1 >= 0
+
+    # Dense stable partition: destination slot per lane (a full
+    # permutation of 0..Q-1), unresolved lanes first.
+    unres = ~occ1
+    iu = jnp.cumsum(unres.astype(jnp.int32)) - 1
+    n_un = jnp.sum(unres.astype(jnp.int32))
+    ir = jnp.cumsum(occ1.astype(jnp.int32)) - 1
+    pos = jnp.where(unres, iu, n_un + ir)
+    ro_p = jnp.zeros_like(ro3).at[:, pos].set(ro3)
+    rd_p = jnp.zeros_like(rd3).at[:, pos].set(rd3)
+    tl = t_limit if t_limit is not None else jnp.full((q,), _FMAX,
+                                                      jnp.float32)
+    tl_p = (
+        jnp.zeros((q,), jnp.float32)
+        .at[pos].set(jnp.where(occ1, -1.0, tl))
+    )
+
+    t2 = _slice_tables_supers(tables, k, cs)
+    _, tri2p, bt2, tt2 = bruteforce_mesh_pallas(
+        mesh, ro_p, rd_p, tl_p, tables=t2, tri_chunk=t2.tri_chunk, **kw
+    )
+    occ = occ1 | (tri2p >= 0)[pos]
+    tri = jnp.where(occ, 0, -1).astype(jnp.int32)
+    return tri, bt1 + bt2, tt1 + tt2
+
+
 class FusedTables:
     """Concatenated multi-mesh chunk tables: ONE kernel dispatch per
     ray block intersects EVERY mesh in the scene.

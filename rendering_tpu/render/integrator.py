@@ -208,6 +208,22 @@ def _mesh_oracle(mesh, settings, ro3, rd3, t_limit, mode: str = "closest"):
                 # any post-build settings surgery.
                 kw["tables"] = tables
                 kw["tri_chunk"] = tables.tri_chunk
+            if (mode == "any" and settings.anyhit_compact_frac > 0.0
+                    and tables is not None and t_limit is not None):
+                # Two-phase any-hit with mid-pass shadow-ray
+                # compaction (settings.anyhit_compact_frac).
+                from rendering_tpu.ops.pallas_intersect import (
+                    anyhit_two_phase,
+                )
+
+                return anyhit_two_phase(
+                    mesh, tables, ro3, rd3, t_limit,
+                    frac=settings.anyhit_compact_frac,
+                    backface_culling=settings.use_backface_culling,
+                    use_root_filter=root_filter,
+                    collect_stats=settings.collect_statistics,
+                    interpret=pallas_interp,
+                )
         elif settings.use_mxu_intersect:
             fn = bruteforce_mesh_mxu
         else:

@@ -392,3 +392,31 @@ def test_integrate_empty_batch():
     assert float(jnp.sum(jnp.abs(accum3))) == 0.0
     assert float(stats["rays_casted"]) == 0.0
     assert shade_normals(scene, ro, rd).shape == (3, 0)
+
+
+def test_anyhit_compaction_exact():
+    """Two-phase any-hit with mid-pass shadow-ray compaction
+    (settings.anyhit_compact_frac) must be EXACT: occlusion is a union
+    over disjoint super-chunk ranges, so the compacted render equals
+    the single-pass render bit-for-bit (interpret-mode kernel)."""
+    import dataclasses
+
+    import numpy as np
+
+    from rendering_tpu.flagship import build_flagship_scene
+    from rendering_tpu.render.pipeline import render_scene
+
+    scene = build_flagship_scene(64, 48, n_tris=800, with_maps=False,
+                                 settings_overrides=dict(
+                                     pallas_interpret=True))
+    f0, _ = render_scene(scene)
+    for frac in (0.25, 0.5):
+        st = scene.static
+        sc = dataclasses.replace(
+            scene,
+            static=dataclasses.replace(
+                st, settings=st.settings.replace(anyhit_compact_frac=frac)
+            ),
+        )
+        f1, _ = render_scene(sc)
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))

@@ -11,6 +11,10 @@ record the numbers in docs/PERF.md.
 
 Usage: python tools/bench_anyhit_ab.py [--reps 3] [--tris 250000]
        [--shapes 32x16,32x8,128x8]
+       [--compact 0.25,0.5]   # two-phase any-hit with mid-pass
+                              # shadow-ray compaction instead of
+                              # chunk shapes (VERDICT r4 next-step 3;
+                              # settings.anyhit_compact_frac)
 """
 
 from __future__ import annotations
@@ -56,6 +60,9 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=3840)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--shapes", default="32x16,32x8,128x8")
+    ap.add_argument("--compact", default="",
+                    help="comma list of anyhit_compact_frac values to "
+                         "A/B instead of chunk shapes")
     args = ap.parse_args()
 
     from rendering_tpu.utils.compile_cache import enable_compilation_cache
@@ -111,6 +118,26 @@ def main() -> int:
         "s_per_step": round(base, 4),
         "rays_per_sec": round(rays / base, 1),
     }), flush=True)
+    if args.compact:
+        for frac in args.compact.split(","):
+            frac = float(frac)
+            scene = build()
+            st = scene.static
+            scene = dataclasses.replace(
+                scene,
+                static=dataclasses.replace(
+                    st,
+                    settings=st.settings.replace(anyhit_compact_frac=frac),
+                ),
+            )
+            dt = run(scene, args.reps)
+            print(json.dumps({
+                "shape": f"anyhit compact frac={frac}",
+                "s_per_step": round(dt, 4),
+                "rays_per_sec": round(rays / dt, 1),
+                "vs_default": round(base / dt, 3),
+            }), flush=True)
+        return 0
     for shape in args.shapes.split(","):
         tc, ns = (int(v) for v in shape.split("x"))
         dt = run(build(tc, ns), args.reps)
