@@ -265,6 +265,55 @@ def test_geo_memory_accounting_scales_1M():
             < 0.05 * acc8["sharded_bytes_device0"])
 
 
+def test_geo_transparent_shadow_tables_path():
+    """A transparent mesh forces SEPARATE fused shadow tables
+    (transparent objects cast no shadows, so they are excluded at
+    table build) — the geo-sharded path then ships BOTH table sets
+    through shard_map (the s_* specs). That branch must match the
+    1-geo-shard run u8-exactly, shade-sharded included."""
+    from rendering_tpu.flagship import procedural_mesh
+    from rendering_tpu.models.parser import LightDef, ObjectDef, SceneDef
+    from rendering_tpu.models.scene import build_scene
+
+    st = RenderSettings(
+        width=48, height=32, max_ray_depth=3, enable_ssaa=False,
+        enable_output=False, output_progress=False,
+        background_color=(0.3, 0.4, 0.5),
+        pallas_interpret=True, geo_shard_axis="geo",
+    )
+    sd = SceneDef(settings=st)
+    sd.lights = [
+        LightDef("point", color=(1, 1, 1), intensity=0.6, pos=(0, 2, -2)),
+        LightDef("distant", color=(1, 1, 1), intensity=0.3,
+                 dir=(0.2, -1, -0.4)),
+    ]
+    opaque = ObjectDef("mesh", pos=(-0.7, 0, -3), size=(1.2, 1.2, 1.2),
+                       color=(0.9, 0.5, 0.3), material="phong",
+                       ambient=0.3, diffuse=0.4, specular=0.3,
+                       n_specular=8.0)
+    opaque.mesh = procedural_mesh(60, pos=(-0.7, 0, -3),
+                                  size=(1.2, 1.2, 1.2), seed=1)
+    glass = ObjectDef("mesh", pos=(0.8, 0, -2.5), size=(1.0, 1.0, 1.0),
+                      color=(1, 1, 1), material="transparent", ior=1.3)
+    glass.mesh = procedural_mesh(60, pos=(0.8, 0, -2.5),
+                                 size=(1.0, 1.0, 1.0), seed=2)
+    sd.objects = [opaque, glass]
+    scene = build_scene(sd)
+    assert scene.fused_shadow_itables is not None
+    assert scene.fused_shadow_itables is not scene.fused_itables
+
+    ref_mesh = make_geo_mesh(jax.devices()[:4], n_geo=1)
+    mesh = make_geo_mesh(jax.devices()[:4], n_geo=2)
+    f0, _ = render_scene_geo_sharded(scene, ref_mesh)
+    f1, _ = render_scene_geo_sharded(scene, mesh)
+    f2, _ = render_scene_geo_sharded(scene, mesh, shade_sharded=True)
+    a = quantize_reference(np.asarray(f0).transpose(1, 2, 0))
+    b = quantize_reference(np.asarray(f1).transpose(1, 2, 0))
+    c = quantize_reference(np.asarray(f2).transpose(1, 2, 0))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
 def test_geo_shard_build_stages_nothing_per_triangle_on_device():
     """A scene BUILT with geo_shard_axis='geo' must keep every O(T)
     array HOST-side (numpy): the beyond-HBM mode's whole point is that
