@@ -135,3 +135,29 @@ def morton_key_r(p3):
         return x
 
     return spread(q[0]) | (spread(q[1]) << 1) | (spread(q[2]) << 2)
+
+
+def euler_matrix_j(rot_deg):
+    """Differentiable jnp twin of models.objloader.euler_matrix: 3x3
+    rotation from Euler DEGREES (3,) in the reference's row-vector
+    convention (apply as v @ R; mz*my*mx composition, scene.cpp:22-49).
+    Use for gradients w.r.t. camera/object rotation angles — the
+    numpy original is the f32-exact PARITY path baked at scene build;
+    this one traces so jax.grad flows to the angles (agreement with
+    the original is pinned to ~1 ulp by tests/test_grad.py)."""
+    r = jnp.asarray(rot_deg, jnp.float32) * jnp.float32(jnp.pi / 180.0)
+    cx, sx = jnp.cos(r[0]), jnp.sin(r[0])
+    cy, sy = jnp.cos(r[1]), jnp.sin(r[1])
+    cz, sz = jnp.cos(r[2]), jnp.sin(r[2])
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    mx = jnp.array([[one, zero, zero],
+                    [zero, cx, -sx],
+                    [zero, sx, cx]])
+    my = jnp.array([[cy, zero, sy],
+                    [zero, one, zero],
+                    [-sy, zero, cy]])
+    mz = jnp.array([[cz, -sz, zero],
+                    [sz, cz, zero],
+                    [zero, zero, one]])
+    return (mz @ my) @ mx

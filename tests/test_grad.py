@@ -197,3 +197,25 @@ def test_grad_mesh_normal_nonzero():
 
     g = jax.grad(loss_n)(scene.meshes[0].n)
     assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_euler_matrix_j_matches_parity_build():
+    """ops.geometry.euler_matrix_j (the differentiable rotation used
+    for camera/object angle gradients) must agree with the f32-exact
+    parity euler_matrix to ~1 ulp and differentiate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendering_tpu.models.objloader import euler_matrix
+    from rendering_tpu.ops.geometry import euler_matrix_j
+
+    for rot in [(0, 0, 0), (10, -30, 77), (-50, 0, 0), (123, 45, -9)]:
+        np.testing.assert_allclose(
+            np.asarray(euler_matrix_j(jnp.asarray(rot, jnp.float32))),
+            euler_matrix(rot), atol=2.5e-7,
+        )
+    g = jax.grad(
+        lambda a: jnp.sum(euler_matrix_j(a) * jnp.arange(9.0).reshape(3, 3))
+    )(jnp.asarray((10.0, 20.0, 30.0), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
