@@ -100,7 +100,8 @@ def main(argv=None) -> int:
                     render_with_progress,
                 )
 
-                return render_with_progress(scene, mesh=gmesh)
+                return render_with_progress(scene, mesh=gmesh,
+                                             out_u8=True)
             return render_geo_sharded(scene, gmesh, out_u8=True)
         if jax.device_count() > 1 and not args.no_shard:
             from rendering_tpu.parallel.shard import (
@@ -114,17 +115,19 @@ def main(argv=None) -> int:
                     render_with_progress,
                 )
 
-                return render_with_progress(scene, mesh=mesh)
+                return render_with_progress(scene, mesh=mesh,
+                                             out_u8=True)
             # The CLI only writes the frame out: quantize to the BMP
             # writer's u8 codes on device (4x smaller host pull).
             return render_sharded(scene, mesh, out_u8=True)
         if settings.output_progress and not settings.show_ac:
             # outputProgress (src/scene.cpp:486-492): strip-rendered
-            # frame with once-per-second percentage prints;
-            # bit-identical output.
+            # frame with once-per-second percentage prints; the final
+            # frame quantizes on device (bit-identical BMP bytes, 4x
+            # smaller pull).
             from rendering_tpu.render.pipeline import render_with_progress
 
-            return render_with_progress(scene)
+            return render_with_progress(scene, out_u8=True)
         return render(scene, out_u8=True)
 
     if args.trace_dir:

@@ -258,6 +258,29 @@ def _specs_for(gs: GeoStatic) -> dict:
     return specs
 
 
+def stage_geo_prepared(gs: GeoStatic, scene0, tables, mesh: Mesh):
+    """device_put the prepared inputs with their ACTUAL shardings —
+    each table along its P(... 'geo' ...) spec (each device receives
+    only its 1/G shard), the scene remainder replicated. Host numpy
+    arrays transfer ONCE here; subsequent render/strip calls see
+    committed device arrays and move zero bytes (without this, every
+    call — every STRIP — re-shipped the full table set through the
+    shard_map staging path: measured 6.8x slower on a tunnel-attached
+    chip). The staged arrays pin device memory for as long as the
+    caller holds them — exactly the resident acceleration structure."""
+    specs = _specs_for(gs)
+    staged_tables = {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in tables.items()
+    }
+    staged_scene0 = jax.tree_util.tree_map(
+        lambda leaf: (jax.device_put(leaf, NamedSharding(mesh, P()))
+                      if hasattr(leaf, "shape") else leaf),
+        scene0,
+    )
+    return gs, staged_scene0, staged_tables
+
+
 def _local_scene(scene0, tables, gs: GeoStatic):
     """Reassemble the full scene INSIDE the shard_map body from the
     replicated remainder + this device's table shards, then re-derive
@@ -523,7 +546,9 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
     ndev_r = _axis_sizes(mesh)["rays"]
     gs, scene0, tables = (
         _prepared if _prepared is not None
-        else prepare_geo_scene(scene, g, shade_sharded)
+        else stage_geo_prepared(
+            *prepare_geo_scene(scene, g, shade_sharded), mesh
+        )
     )
 
     w, h = settings.width, settings.height
@@ -567,7 +592,9 @@ def render_geo_sharded(scene, mesh: Mesh, shade_sharded: bool = True,
     g = _axis_sizes(mesh)["geo"]
     prep = None
     if not scene.static.settings.show_ac:
-        prep = prepare_geo_scene(scene, g, shade_sharded)
+        prep = stage_geo_prepared(
+            *prepare_geo_scene(scene, g, shade_sharded), mesh
+        )
     frame3, aux = escalating_render(
         lambda ssaa_cap, headroom: render_scene_geo_sharded(
             scene, mesh, ray_block=ray_block, shade_sharded=shade_sharded,
@@ -599,7 +626,11 @@ def make_geo_strip_fns(mesh: Mesh, ray_block: int,
         hit = memo.get("k")
         if hit is not None and hit[0] is key:
             return hit[1]
-        prep = prepare_geo_scene(scene, g, shade_sharded)
+        # Stage once per scene: the strip loop then moves ZERO table
+        # bytes per strip (the tables are committed device shards).
+        prep = stage_geo_prepared(
+            *prepare_geo_scene(scene, g, shade_sharded), mesh
+        )
         memo["k"] = (key, prep)
         return prep
 
@@ -631,8 +662,9 @@ def geo_shard_memory_accounting(scene, mesh: Mesh,
     and replicated_bytes_device0 does not grow with triangle count
     (tests/test_geoshard.py pins both at >= 1M triangles)."""
     g = _axis_sizes(mesh)["geo"]
-    gs, scene0, tables = prepare_geo_scene(scene, g, shade_sharded)
-    specs = _specs_for(gs)
+    gs, scene0, staged = stage_geo_prepared(
+        *prepare_geo_scene(scene, g, shade_sharded), mesh
+    )
     dev0 = mesh.devices.reshape(-1)[0]
 
     def dev0_bytes(arr) -> int:
@@ -641,19 +673,15 @@ def geo_shard_memory_accounting(scene, mesh: Mesh,
             if sh.device == dev0
         )
 
-    staged = {}
     sharded_dev0 = 0
     sharded_total = 0
-    for k, v in tables.items():
-        staged[k] = jax.device_put(v, NamedSharding(mesh, specs[k]))
-        sharded_dev0 += dev0_bytes(staged[k])
-        sharded_total += staged[k].nbytes
+    for v in staged.values():
+        sharded_dev0 += dev0_bytes(v)
+        sharded_total += v.nbytes
     repl_dev0 = 0
     for leaf in jax.tree_util.tree_leaves(scene0):
-        if not hasattr(leaf, "nbytes"):
-            continue
-        staged_leaf = jax.device_put(leaf, NamedSharding(mesh, P()))
-        repl_dev0 += dev0_bytes(staged_leaf)
+        if hasattr(leaf, "nbytes"):
+            repl_dev0 += dev0_bytes(leaf)
     return {
         "sharded_bytes_device0": int(sharded_dev0),
         "replicated_bytes_device0": int(repl_dev0),

@@ -423,6 +423,7 @@ def _make_strip_fns(mesh, ray_block, queue_headroom=1):
 def render_with_progress(scene, *, strip_rows: int = 128,
                          ray_block: int = DEFAULT_RAY_BLOCK,
                          mesh=None, queue_headroom: int = 1,
+                         out_u8: bool = False,
                          _now=None, _print=print):
     """`outputProgress` render (src/scene.cpp:486-492): the frame is
     produced in horizontal strips and the completed-pixel percentage is
@@ -459,7 +460,10 @@ def render_with_progress(scene, *, strip_rows: int = 128,
             frame3, aux = _cached_sharded_fn(mesh, ray_block)(scene)
         else:
             frame3, aux = render_scene(scene, ray_block=ray_block)
-        frame = np.asarray(frame3).transpose(1, 2, 0)
+        if out_u8:
+            frame = np.asarray(jax.jit(quantize_u8)(frame3))
+        else:
+            frame = np.asarray(frame3).transpose(1, 2, 0)
         _print("100%")
         return frame, {
             "stats": {k: float(v) for k, v in aux["stats"].items()},
@@ -467,28 +471,31 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         }
     w, h = st.width, st.height
     n_strips = -(-h // strip_rows)
-    accum3 = np.zeros((3, h * w), np.float32)
     last = now()
     done_px = 0
     coef = 100.0 / (w * h)
     strip_fn, ssaa_fn = _make_strip_fns(mesh, ray_block, queue_headroom)
     stats_acc = {k: 0.0 for k in _zero_stats()}
 
-    # Pipelined strips: strip k+1 is DISPATCHED (JAX dispatch is
-    # asynchronous) before strip k's device->host pull, so the chip
-    # computes the next strip while the host drains the previous one —
-    # the same depth-2 overlap as animation.render_frames_pipelined,
-    # per strip instead of per frame. Output is unchanged: each strip's
-    # program is identical, only the np.asarray sync moves. On a
-    # tunnel-attached chip the pull is a large fraction of a strip, so
-    # the default CLI path (outputProgress=1) stops paying
-    # n_strips x pull serially.
+    # Pipelined strips with ZERO per-strip pixel pulls: the strip
+    # accumulators STAY ON DEVICE (the progress loop has no durability
+    # contract — render_resumable is the one that must land pixels on
+    # the host). Strip k+1 is dispatched (JAX dispatch is
+    # asynchronous) before strip k is awaited; the await itself is the
+    # host read of strip k's psum'd stats SCALARS — a few bytes that
+    # complete only when the strip's program has run, which is exactly
+    # the once-per-second progress semantic. The finished frame
+    # assembles device-side from the kept parts, so the whole path
+    # moves scalars per strip + one final frame pull (u8 when out_u8)
+    # instead of pull-strip + re-upload + pull-frame (~3x the bytes on
+    # a tunnel-attached chip).
+    parts = []  # device strip accumulators, in y order
+
     def drain(p):
         nonlocal done_px, last
-        y0p, rowsp, part, s_stats = p
-        accum3[:, y0p * w : y0p * w + rowsp * w] = np.asarray(part)
+        rowsp, s_stats = p
         for k in stats_acc:
-            stats_acc[k] += float(s_stats[k])
+            stats_acc[k] += float(s_stats[k])  # sync: strip k finished
         done_px += rowsp * w
         if (now() - last) > 1.0:
             _print(f"{coef * done_px:2.0f}%")
@@ -498,11 +505,13 @@ def render_with_progress(scene, *, strip_rows: int = 128,
     for s in range(n_strips):
         y0 = s * strip_rows
         rows = min(strip_rows, h - y0)
-        out = strip_fn(scene, y0=y0, rows=rows)
+        part, s_stats = strip_fn(scene, y0=y0, rows=rows)
+        parts.append(part)
         if pending is not None:
             drain(pending)
-        pending = (y0, rows, *out)
+        pending = (rows, s_stats)
     drain(pending)
+    accum3 = jnp.concatenate(parts, axis=1)  # (3, h*w), device
 
     frame3, n_masked = _finish_strips(scene, accum3, stats_acc, ssaa_fn,
                                       timers=True)
@@ -512,9 +521,17 @@ def render_with_progress(scene, *, strip_rows: int = 128,
         # (same escalation as render(); the reference never drops).
         return render_with_progress(
             scene, strip_rows=strip_rows, ray_block=ray_block, mesh=mesh,
-            queue_headroom=queue_headroom * 2, _now=_now, _print=_print,
+            queue_headroom=queue_headroom * 2, out_u8=out_u8,
+            _now=_now, _print=_print,
         )
-    frame = np.asarray(frame3).transpose(1, 2, 0)
+    # The strips themselves must pull f32 (the SSAA Sobel pass reads
+    # the accumulated frame), but the FINISHED frame can quantize on
+    # device: out_u8 shrinks the final whole-frame pull 4x (the CLI
+    # only writes the BMP).
+    if out_u8:
+        frame = np.asarray(jax.jit(quantize_u8)(frame3))
+    else:
+        frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(stats_acc)
     return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
 
@@ -611,7 +628,8 @@ def _scene_fingerprint(scene) -> np.int64:
 
 def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
                      resume: bool = True, ray_block: int = DEFAULT_RAY_BLOCK,
-                     mesh=None, queue_headroom: int = 1):
+                     mesh=None, queue_headroom: int = 1,
+                     out_u8: bool = False):
     """Preemption-safe render: the frame is produced in horizontal strips
     of `strip_rows` pixel rows, checkpointing the accumulated framebuffer
     and finished-strip mask after each strip (SURVEY sections 5.3/5.4 —
@@ -656,8 +674,10 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
             frame3, aux = _cached_sharded_fn(mesh, ray_block)(scene)
         else:
             frame3, aux = render_scene(scene, ray_block=ray_block)
+        frame = (np.asarray(jax.jit(quantize_u8)(frame3)) if out_u8
+                 else np.asarray(frame3).transpose(1, 2, 0))
         return (
-            np.asarray(frame3).transpose(1, 2, 0),
+            frame,
             {"stats": {k: float(v) for k, v in aux["stats"].items()},
              "ssaa_masked": aux["ssaa_masked"]},
         )
@@ -748,9 +768,14 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
         return render_resumable(
             scene, checkpoint_path, strip_rows=strip_rows, resume=False,
             ray_block=ray_block, mesh=mesh,
-            queue_headroom=queue_headroom * 2,
+            queue_headroom=queue_headroom * 2, out_u8=out_u8,
         )
-    frame = np.asarray(frame3).transpose(1, 2, 0)
+    # Checkpoints stay f32 (resume math needs the accumulators); only
+    # the finished frame's pull shrinks 4x under out_u8.
+    if out_u8:
+        frame = np.asarray(jax.jit(quantize_u8)(frame3))
+    else:
+        frame = np.asarray(frame3).transpose(1, 2, 0)
     warn_dropped_paths(stats_acc)
     return frame, {"stats": stats_acc, "ssaa_masked": n_masked}
 

@@ -118,6 +118,7 @@ def _with_settings(scene, **kw):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shade_sharded", [False, True])
 def test_geo_ssaa_matches(shade_sharded):
     """Adaptive SSAA on the geo-sharded path: refinement rays trace
@@ -138,6 +139,7 @@ def test_geo_ssaa_matches(shade_sharded):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_geo_show_normals_matches():
     """showNormals on the geo-sharded path: the first-hit normal frame
     must match the 1-geo-shard run u8-exactly (the hit combine across
@@ -168,6 +170,7 @@ def test_geo_show_ac_matches():
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
 
 
+@pytest.mark.slow
 def test_geo_host_wrapper_and_u8():
     """render_geo_sharded returns the host (H, W, 3) frame with the
     escalation wrapper; out_u8 returns exactly the BMP writer's codes
@@ -265,6 +268,7 @@ def test_geo_memory_accounting_scales_1M():
             < 0.05 * acc8["sharded_bytes_device0"])
 
 
+@pytest.mark.slow
 def test_geo_transparent_shadow_tables_path():
     """A transparent mesh forces SEPARATE fused shadow tables
     (transparent objects cast no shadows, so they are excluded at

@@ -256,3 +256,26 @@ def test_progress_shownormals_runs_ssaa(in_workspace):
             scene, os.path.join(d, "ck.msgpack"), strip_rows=16
         )
     np.testing.assert_allclose(f_ref, f_res, atol=1.2e-7)
+
+
+def test_progress_out_u8_matches_quantized(in_workspace):
+    """out_u8 quantizes the FINISHED strip-rendered frame on device
+    (4x smaller final pull); bytes must equal the host-quantized f32
+    result exactly, for both strip wrappers."""
+    from rendering_tpu.render.pipeline import render_resumable
+    from rendering_tpu.utils.bmp import quantize_reference
+
+    scene = load_scene(
+        "t01_simple_shapes.scene", RenderSettings(ssaa_capacity_fraction=1.0)
+    )
+    scene = _shrink(scene, 64, 48)
+    f32_frame, _ = render_with_progress(scene, strip_rows=16)
+    u8_frame, _ = render_with_progress(scene, strip_rows=16, out_u8=True)
+    np.testing.assert_array_equal(quantize_reference(f32_frame), u8_frame)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        u8_res, _ = render_resumable(scene, d + "/ck.npz", strip_rows=16,
+                                     out_u8=True)
+    np.testing.assert_array_equal(quantize_reference(f32_frame), u8_res)

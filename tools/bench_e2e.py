@@ -48,12 +48,14 @@ def time_render(scene, reps: int, out_u8: bool = False) -> float:
 def time_progress(scene, reps: int, strip_rows: int = 128) -> float:
     """The DEFAULT CLI path (outputProgress=1): strip-rendered frame
     with pipelined device->host pulls (strip k+1 dispatches before
-    strip k's pull). Frame equality with render() is pinned by
-    tests/test_progress.py; this measures its wall-clock."""
+    strip k's pull) and the finished frame quantized on device
+    (out_u8 — what the CLI passes). Frame equality with render() is
+    pinned by tests/test_progress.py; this measures its wall-clock."""
     from rendering_tpu.render.pipeline import render_with_progress
 
     def once():
         return render_with_progress(scene, strip_rows=strip_rows,
+                                    out_u8=True,
                                     _print=lambda *_: None)
 
     once()  # warmup: compile strip + tail + SSAA programs

@@ -22,16 +22,28 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def time_render(scene, mesh, shade_sharded, reps: int) -> float:
+def time_render(scene, mesh, shade_sharded, reps: int):
+    """(rays/s with tables resident, one-time staging seconds)."""
     import jax
 
-    from rendering_tpu.parallel.geoshard import render_scene_geo_sharded
+    from rendering_tpu.parallel.geoshard import (
+        prepare_geo_scene,
+        render_scene_geo_sharded,
+        stage_geo_prepared,
+    )
 
     st = scene.static.settings
+    g = dict(zip(mesh.axis_names, mesh.devices.shape))["geo"]
+    t0 = time.perf_counter()
+    prep = stage_geo_prepared(
+        *prepare_geo_scene(scene, g, shade_sharded), mesh
+    )
+    jax.block_until_ready(prep[2])
+    stage_s = time.perf_counter() - t0
 
     def once():
         frame3, _aux = render_scene_geo_sharded(
-            scene, mesh, shade_sharded=shade_sharded
+            scene, mesh, shade_sharded=shade_sharded, _prepared=prep
         )
         return frame3
 
@@ -41,7 +53,7 @@ def time_render(scene, mesh, shade_sharded, reps: int) -> float:
         out = once()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    return (st.width * st.height) / dt
+    return (st.width * st.height) / dt, stage_s
 
 
 def main() -> int:
@@ -69,14 +81,15 @@ def main() -> int:
         ),
     )
     mesh = make_geo_mesh(n_geo=g)
-    table_sharded = time_render(scene, mesh, False, reps)
-    shade_sharded = time_render(scene, mesh, True, reps)
+    table_sharded, stage_t = time_render(scene, mesh, False, reps)
+    shade_sharded, stage_s = time_render(scene, mesh, True, reps)
     print(json.dumps({
         "metric": f"geoshard_fwd_primary_rays_per_sec_g{g}",
         "value": round(shade_sharded, 1),
         "unit": "rays/s",
         "vs_baseline": None,
         "table_sharded_rays_per_sec": round(table_sharded, 1),
+        "one_time_staging_seconds": round(stage_s, 3),
         "geo_axis": g,
         "rays_axis": ndev // g,
         "devices": ndev,
