@@ -543,40 +543,63 @@ def render_scene_geo_sharded(scene, mesh: Mesh,
             "ssaa_masked": jnp.zeros((), jnp.int32),
         }
     g = _axis_sizes(mesh)["geo"]
-    ndev_r = _axis_sizes(mesh)["rays"]
     gs, scene0, tables = (
         _prepared if _prepared is not None
         else stage_geo_prepared(
             *prepare_geo_scene(scene, g, shade_sharded), mesh
         )
     )
-
-    w, h = settings.width, settings.height
-    r = w * h
-    rp, perm = _round_robin_layout(r, ndev_r)
-    xs = (perm % w).astype(jnp.float32)
-    ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
-    accum3, stats = _geo_integrate_fn(
-        mesh, gs, ray_block, queue_headroom
-    )(scene0, tables, xs, ys)
-    if settings.show_normals:
-        stats["rays_casted"] = jnp.asarray(r, jnp.float32)
-    frame3 = assemble_frame(accum3, perm, rp, r, w, h)
-
-    n_masked = jnp.zeros((), jnp.int32)
+    capacity = 0
     if settings.enable_ssaa:
         capacity = ssaa_capacity or max(
-            1, int(w * h * settings.ssaa_capacity_fraction)
+            1, int(settings.width * settings.height
+                   * settings.ssaa_capacity_fraction)
         )
-        frame3, n_masked, s2 = _geo_ssaa_fn(
-            mesh, gs, ray_block, capacity, queue_headroom
-        )(scene0, tables, frame3)
-        for k in stats:
-            stats[k] = stats[k] + s2[k]
-    if out_u8:
-        return quantize_u8(frame3), {"stats": stats,
-                                     "ssaa_masked": n_masked}
-    return frame3, {"stats": stats, "ssaa_masked": n_masked}
+    return _geo_full_render_fn(
+        mesh, gs, ray_block, capacity, queue_headroom, out_u8
+    )(scene0, tables)
+
+
+@functools.lru_cache(maxsize=32)
+def _geo_full_render_fn(mesh: Mesh, gs: GeoStatic, ray_block: int,
+                        ssaa_capacity: int, queue_headroom: int,
+                        out_u8: bool):
+    """ONE jitted program for the whole geo-sharded render — raygen,
+    slot layout, shard_map'd integrate, frame assembly, SSAA, u8
+    quantization. Nothing runs eagerly per call: on a tunnel-attached
+    chip every eager jnp op is a host->device dispatch, and the
+    pre-jit version paid seconds of them per frame (measured 5x)."""
+    from rendering_tpu.render.pipeline import quantize_u8
+
+    base = _geo_integrate_fn(mesh, gs, ray_block, queue_headroom)
+    ssaa = (_geo_ssaa_fn(mesh, gs, ray_block, ssaa_capacity,
+                         queue_headroom)
+            if ssaa_capacity else None)
+    ndev_r = _axis_sizes(mesh)["rays"]
+
+    @jax.jit
+    def fn(scene0, tables):
+        st = scene0.static
+        settings = st.settings
+        w, h = settings.width, settings.height
+        r = w * h
+        rp, perm = _round_robin_layout(r, ndev_r)
+        xs = (perm % w).astype(jnp.float32)
+        ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
+        accum3, stats = base(scene0, tables, xs, ys)
+        if settings.show_normals:
+            stats["rays_casted"] = jnp.asarray(r, jnp.float32)
+        frame3 = assemble_frame(accum3, perm, rp, r, w, h)
+        n_masked = jnp.zeros((), jnp.int32)
+        if ssaa is not None:
+            frame3, n_masked, s2 = ssaa(scene0, tables, frame3)
+            stats = {k: stats[k] + s2[k] for k in stats}
+        if out_u8:
+            return quantize_u8(frame3), {"stats": stats,
+                                         "ssaa_masked": n_masked}
+        return frame3, {"stats": stats, "ssaa_masked": n_masked}
+
+    return fn
 
 
 def render_geo_sharded(scene, mesh: Mesh, shade_sharded: bool = True,

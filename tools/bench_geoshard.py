@@ -57,6 +57,14 @@ def time_render(scene, mesh, shade_sharded, reps: int):
 
 
 def main() -> int:
+    if os.environ.get("RT_FORCE_CPU"):
+        # The axon TPU plugin dials its tunnel at backend INIT even
+        # under JAX_PLATFORMS=cpu (env); only the in-script config
+        # switch truly keeps a run off the chip (same seam as
+        # tests/conftest.py). Used by multichip_day1.sh's smoke mode.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from rendering_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -23,7 +23,9 @@ WORK="$(mktemp -d)"
 trap 'rm -rf "$WORK"' EXIT
 
 if [ "${DAY1_SMOKE:-0}" = "1" ]; then
-  export JAX_PLATFORMS=cpu
+  # NOTE: the JAX_PLATFORMS env var does NOT keep the axon
+  # plugin off the tunnel; the tools switch in-script.
+  export RT_FORCE_CPU=1
   export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8"
   # Tiny shapes: the smoke run checks plumbing end-to-end, not perf.
   export SCALE_WIDTH=192 SCALE_HEIGHT=96 SCALE_TRIS=500 SCALE_REPS=1
