@@ -23,9 +23,19 @@ def intersect_spheres(ro, rd, pos, radius):
     tca = jnp.sum(L * rd[:, None, :], axis=-1)    # (R, Ns)
     d2 = jnp.sum(L * L, axis=-1) - tca * tca
     inside = d2 <= r2[None, :]
-    # double-where: sqrt(0) has an infinite derivative; guard the masked
-    # lanes so reverse-mode never sees 0 * inf.
-    thc = jnp.sqrt(jnp.where(inside, jnp.maximum(r2[None, :] - d2, 0.0), 1.0))
+    # double-where BOTH ways: sqrt(0) has an infinite derivative, so
+    # the masked (!inside) lanes are guarded AND an EXACTLY tangent
+    # LIVE lane (d2 == r2, which compiled fusion can produce even when
+    # eager rounding does not) keeps its primal thc = 0 but routes the
+    # gradient through a safe operand — a tangency's t is a kink and
+    # its one-sided derivative is treated as 0, like the kernel's
+    # other measure-zero guards (ops/shading.py).
+    op = jnp.maximum(r2[None, :] - d2, 0.0)
+    dead = (~inside) | (op <= 0.0)
+    thc = jnp.where(
+        dead, jnp.where(inside, 0.0, 1.0),
+        jnp.sqrt(jnp.where(dead, 1.0, op)),
+    )
     t0 = tca - thc
     t1 = tca + thc
     t0 = jnp.where(t0 < 0, t1, t0)
@@ -86,7 +96,14 @@ def intersect_spheres_r(ro3, rd3, pos, radius):
     )
     d2 = ((L[0] * L[0] + L[1] * L[1]) + L[2] * L[2]) - tca * tca
     inside = d2 <= r2
-    thc = jnp.sqrt(jnp.where(inside, jnp.maximum(r2 - d2, 0.0), 1.0))
+    # double-where BOTH ways — see intersect_spheres (exact-tangency
+    # live lanes must not feed sqrt'(0) = inf into reverse mode).
+    op = jnp.maximum(r2 - d2, 0.0)
+    dead = (~inside) | (op <= 0.0)
+    thc = jnp.where(
+        dead, jnp.where(inside, 0.0, 1.0),
+        jnp.sqrt(jnp.where(dead, 1.0, op)),
+    )
     t0 = tca - thc
     t1 = tca + thc
     t0 = jnp.where(t0 < 0, t1, t0)

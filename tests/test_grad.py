@@ -219,3 +219,46 @@ def test_euler_matrix_j_matches_parity_build():
         lambda a: jnp.sum(euler_matrix_j(a) * jnp.arange(9.0).reshape(3, 3))
     )(jnp.asarray((10.0, 20.0, 30.0), jnp.float32))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_sphere_tangency_gradient_finite():
+    """A ray EXACTLY tangent to a sphere (d2 == r2, live lane) must
+    not feed sqrt'(0) = inf into reverse mode — this killed camera
+    pose optimization on t01 (compiled fusion produced exact
+    tangencies mid-trajectory that eager rounding never hit). The
+    primal is unchanged (thc = 0, grazing hit at t = tca); the
+    tangency gradient is treated as 0 like the other measure-zero
+    guards."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendering_tpu.ops.geometry import FLT_MAX
+    from rendering_tpu.ops.intersect import (
+        intersect_spheres,
+        intersect_spheres_r,
+    )
+
+    pos = jnp.asarray([[0.0, 0.0, -3.0]])
+    radius = jnp.asarray([1.0])
+
+    def loss_r(ro3):
+        rd3 = jnp.asarray([[0.0], [0.0], [-1.0]])
+        t = intersect_spheres_r(ro3, rd3, pos, radius)
+        return jnp.sum(jnp.where(t < FLT_MAX, t, 0.0))
+
+    ro_tangent = jnp.asarray([[0.0], [1.0], [0.0]])  # d2 == r2 exactly
+    t = intersect_spheres_r(ro_tangent,
+                            jnp.asarray([[0.0], [0.0], [-1.0]]),
+                            pos, radius)
+    assert float(t[0, 0]) == 3.0  # grazing hit at t = tca (primal kept)
+    g = jax.grad(loss_r)(ro_tangent)
+    assert np.isfinite(np.asarray(g)).all(), g
+
+    def loss(ro):
+        rd = jnp.asarray([[0.0, 0.0, -1.0]])
+        t = intersect_spheres(ro, rd, pos, radius)
+        return jnp.sum(jnp.where(t < FLT_MAX, t, 0.0))
+
+    g2 = jax.grad(loss)(jnp.asarray([[0.0, 1.0, 0.0]]))
+    assert np.isfinite(np.asarray(g2)).all(), g2
