@@ -378,7 +378,7 @@ def _geo_strip_fn(mesh: Mesh, gs: GeoStatic, ray_block: int,
         st = scene0.static
         w = st.settings.width
         r = rows * w
-        rp, perm = _round_robin_layout(r, ndev_r)
+        rp, perm = _round_robin_layout(r, ndev_r, (w, rows))
         local_pix = jnp.minimum(perm, r - 1)
         xs = (local_pix % w).astype(jnp.float32)
         ys = (y0 + local_pix // w).astype(jnp.float32)
@@ -583,7 +583,7 @@ def _geo_full_render_fn(mesh: Mesh, gs: GeoStatic, ray_block: int,
         settings = st.settings
         w, h = settings.width, settings.height
         r = w * h
-        rp, perm = _round_robin_layout(r, ndev_r)
+        rp, perm = _round_robin_layout(r, ndev_r, (w, h))
         xs = (perm % w).astype(jnp.float32)
         ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
         accum3, stats = base(scene0, tables, xs, ys)

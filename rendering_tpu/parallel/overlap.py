@@ -74,7 +74,7 @@ def make_sharded_grad_fn(paths, mesh, *, overlap: bool = True,
         )
         ndev = mesh.devices.size
         r = w * h
-        rp, perm = _round_robin_layout(r, ndev)
+        rp, perm = _round_robin_layout(r, ndev, (w, h))
         xs = (perm % w).astype(jnp.float32)
         ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
         # Per-slot validity/targets in slot order (padded slots weigh 0;

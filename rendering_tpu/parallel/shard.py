@@ -69,17 +69,43 @@ def _pad_to(n: int, mult: int) -> int:
 TILE_PX = 16384
 
 
-def _round_robin_layout(r: int, ndev: int):
+def _round_robin_layout(r: int, ndev: int, wh=None):
     """Screen-tile round-robin layout: n_tiles = ndev * k tiles of
     `tile` pixels, device d taking tiles d, d+ndev, ... Returns
     (rp, perm) with perm (rp,) i32: perm[k] = pixel index handled by
     global ray slot k (slots are contiguous per device under
-    P('rays'))."""
+    P('rays')).
+
+    wh=(w, h) with w*h == r additionally orders pixels by the SAME
+    2-D screen-tile traversal the single-device primary pass uses
+    (raygen.tile_dims rects) BEFORE the device interleave, so each
+    512-ray kernel tile covers a compact screen rect. Without it a
+    kernel tile is a 512-pixel SCANLINE RUN whose long thin frustum
+    stays live against ~5x more super chunks — measured 5.8 -> 1.1 M
+    rays/s on the sharded 250k flagship at 1920x1080 (this, not
+    shard_map itself, was the entire sharded-throughput gap: the
+    isolated oracle times identically inside and outside shard_map)."""
     k = max(1, -(-r // (ndev * TILE_PX)))
     n_tiles = ndev * k
     rp = _pad_to(r, n_tiles)
     tile = rp // n_tiles
-    tiles = jnp.arange(rp, dtype=jnp.int32).reshape(n_tiles, tile)
+    if wh is not None and wh[0] * wh[1] == r:
+        from rendering_tpu.render.raygen import tile_dims
+
+        w, h = wh
+        tw, th = tile_dims(w, h)
+        s = jnp.arange(r, dtype=jnp.int32)
+        tile_id, within = s // (tw * th), s % (tw * th)
+        ty, tx = within // tw, within % tw
+        tiles_x = w // tw
+        x = (tile_id % tiles_x) * tw + tx
+        y = (tile_id // tiles_x) * th + ty
+        base = jnp.concatenate(
+            [y * w + x, jnp.arange(r, rp, dtype=jnp.int32)]
+        )
+    else:
+        base = jnp.arange(rp, dtype=jnp.int32)
+    tiles = base.reshape(n_tiles, tile)
     order = jnp.concatenate(
         [jnp.arange(d, n_tiles, ndev, dtype=jnp.int32) for d in range(ndev)]
     )
@@ -137,7 +163,7 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block, queue_headroom=1):
     w, h = st.settings.width, st.settings.height
     ndev = mesh.devices.size
     r = w * h
-    rp, perm = _round_robin_layout(r, ndev)
+    rp, perm = _round_robin_layout(r, ndev, (w, h))
 
     xs = (perm % w).astype(jnp.float32)
     ys = jnp.minimum(perm // w, h - 1).astype(jnp.float32)
@@ -232,7 +258,7 @@ def render_strip_sharded(scene, *, y0, rows: int, mesh: Mesh,
     w = st.settings.width
     ndev = mesh.devices.size
     r = rows * w
-    rp, perm = _round_robin_layout(r, ndev)
+    rp, perm = _round_robin_layout(r, ndev, (w, rows))
     # Slot k handles strip-local pixel perm[k]; padded slots (perm >= r)
     # render a clamped duplicate ray whose result is sliced off below.
     local_pix = jnp.minimum(perm, r - 1)
