@@ -385,8 +385,9 @@ def _geo_strip_fn(mesh: Mesh, gs: GeoStatic, ray_block: int,
         accum3, stats = base(scene0, tables, xs, ys)
         if st.settings.show_normals:
             stats["rays_casted"] = jnp.asarray(r, jnp.float32)
-        flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
-        return flat[:, :r], stats
+        from rendering_tpu.parallel.shard import unpermute_slots
+
+        return unpermute_slots(accum3, r, w, rows, ndev_r), stats
 
     return fn
 
@@ -589,7 +590,7 @@ def _geo_full_render_fn(mesh: Mesh, gs: GeoStatic, ray_block: int,
         accum3, stats = base(scene0, tables, xs, ys)
         if settings.show_normals:
             stats["rays_casted"] = jnp.asarray(r, jnp.float32)
-        frame3 = assemble_frame(accum3, perm, rp, r, w, h)
+        frame3 = assemble_frame(accum3, perm, rp, r, w, h, ndev_r)
         n_masked = jnp.zeros((), jnp.int32)
         if ssaa is not None:
             frame3, n_masked, s2 = ssaa(scene0, tables, frame3)

@@ -147,13 +147,42 @@ def _integrate_slots_sharded(scene, mesh: Mesh, xs, ys, *, ray_block,
     )(scene, xs, ys)
 
 
-def assemble_frame(accum3, perm, rp: int, r: int, w: int, h: int):
+def unpermute_slots(accum3, r: int, w: int, h: int, ndev: int):
+    """Invert the TILED round-robin slot layout (_round_robin_layout
+    with wh=(w, h)) with pure reshapes + transposes — no (3, r)
+    scatter (~97 ms per 2M-pixel frame on chip): slot (d, j, within)
+    holds base group g = j*ndev + d, and the tile-order base inverts
+    exactly like pipeline._untile. Returns a flat (3, r) PIXEL-order
+    buffer (padded slots drop off the tile-order tail)."""
+    from rendering_tpu.render.raygen import tile_dims
+
+    k = max(1, -(-r // (ndev * TILE_PX)))
+    n_tiles = ndev * k
+    rp = _pad_to(r, n_tiles)
+    tile = rp // n_tiles
+    base = (
+        accum3.reshape(3, ndev, k, tile)
+        .transpose(0, 2, 1, 3)
+        .reshape(3, rp)[:, :r]
+    )
+    tw, th = tile_dims(w, h)
+    t = base.reshape(3, h // th, w // tw, th, tw)
+    return t.transpose(0, 1, 3, 2, 4).reshape(3, h * w)
+
+
+def assemble_frame(accum3, perm, rp: int, r: int, w: int, h: int,
+                   ndev: int | None = None):
     """Undo the round-robin tile permutation (slot k -> pixel perm[k]),
     drop the padding, and black out the reference's dead last
     row/column (scene.cpp:369-372). Shared by the ray-sharded and
-    geometry-sharded primary passes."""
-    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
-    frame3 = flat[:, :r].reshape(3, h, w)
+    geometry-sharded primary passes. With `ndev` (callers that built
+    the layout with wh=(w, h)) the inversion is scatter-free
+    (unpermute_slots)."""
+    if ndev is not None and r == w * h:
+        frame3 = unpermute_slots(accum3, r, w, h, ndev).reshape(3, h, w)
+    else:
+        flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
+        frame3 = flat[:, :r].reshape(3, h, w)
     frame3 = frame3.at[:, h - 1, :].set(0.0)
     return frame3.at[:, :, w - 1].set(0.0)
 
@@ -175,7 +204,7 @@ def _primary_sharded(scene, mesh: Mesh, *, ray_block, queue_headroom=1):
     if st.settings.show_normals:
         stats["rays_casted"] = jnp.asarray(r, jnp.float32)
 
-    return assemble_frame(accum3, perm, rp, r, w, h), stats
+    return assemble_frame(accum3, perm, rp, r, w, h, ndev), stats
 
 
 def _ssaa_sharded(scene, frame3, mesh: Mesh, *, capacity, ray_block,
@@ -272,10 +301,9 @@ def render_strip_sharded(scene, *, y0, rows: int, mesh: Mesh,
     if st.settings.show_normals:
         stats["rays_casted"] = jnp.asarray(r, jnp.float32)
 
-    # Undo the round-robin permutation (slot k -> strip pixel perm[k])
-    # and drop the padding; the host loop places the strip.
-    flat = jnp.zeros((3, rp), jnp.float32).at[:, perm].set(accum3)
-    return flat[:, :r], stats
+    # Undo the round-robin permutation scatter-free (the strip layout
+    # was built with wh=(w, rows)); the host loop places the strip.
+    return unpermute_slots(accum3, r, w, rows, ndev), stats
 
 
 @functools.lru_cache(maxsize=16)

@@ -125,3 +125,26 @@ def test_sharded_odd_device_count(in_workspace):
         mesh_n = make_ray_mesh(jax.devices()[:n])
         fn, _ = render_sharded(scene, mesh_n)
         np.testing.assert_allclose(f1, fn, atol=2e-6, err_msg=f"ndev={n}")
+
+
+def test_unpermute_slots_matches_scatter():
+    """The scatter-free slot inversion (reshape/transpose chain) must
+    equal the permutation scatter exactly for divisible and padded
+    layouts — it replaced a ~97 ms (3, 2M) scatter per sharded frame."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rendering_tpu.parallel.shard import (
+        _round_robin_layout,
+        unpermute_slots,
+    )
+
+    for (w, h, ndev) in [(64, 48, 1), (64, 48, 3), (123, 45, 4),
+                         (64, 56, 8)]:
+        r = w * h
+        rp, perm = _round_robin_layout(r, ndev, (w, h))
+        vals = jnp.arange(3 * rp, dtype=jnp.float32).reshape(3, rp)
+        ref = np.zeros((3, rp), np.float32)
+        ref[:, np.asarray(perm)] = np.asarray(vals)
+        got = np.asarray(unpermute_slots(vals, r, w, h, ndev))
+        np.testing.assert_array_equal(ref[:, :r], got, err_msg=str((w, h, ndev)))
