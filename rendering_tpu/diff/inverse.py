@@ -17,7 +17,7 @@ Parameters are addressed by PATHS into the Scene pytree, e.g.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from rendering_tpu.ops.geometry import FLT_MAX, pvary_like
-from rendering_tpu.ops.intersect import ray_triangle, slab_test
+from rendering_tpu.ops.intersect import ray_triangle
 
 
 def make_aabb_acceptor(mesh, ro, rd, use_root_filter: bool):

@@ -646,7 +646,6 @@ def render_resumable(scene, checkpoint_path: str, *, strip_rows: int = 128,
     (<= 1 ulp; the SSAA stage runs as its own XLA program here, inline
     in render_scene's).
     """
-    import dataclasses as _dc
     import os
 
     import numpy as np
