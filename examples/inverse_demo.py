@@ -54,10 +54,14 @@ def recover_camera_pose(scene, steps: int, lr: float) -> int:
         "pos": scene.cam_pos + jnp.asarray([0.04, -0.03, 0.05]),
         "angles_deg": jnp.asarray([1.0, -0.7, 0.5], jnp.float32),
     }
-    # Clipped adam: a large step can walk the camera across a
-    # visibility discontinuity (or inside glass), where pixel MSE is
-    # not locally informative.
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    # Clipped adam with cosine lr decay: large early steps cross the
+    # pose basin quickly, small late steps settle the residual (a
+    # fixed lr parks adam's unit-scale steps at a limit cycle around
+    # the optimum); clipping keeps a step from walking the camera
+    # across a visibility discontinuity (or inside glass).
+    schedule = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(schedule))
     opt_state = opt.init(params)
 
     @jax.jit
