@@ -148,3 +148,31 @@ def test_unpermute_slots_matches_scatter():
         ref[:, np.asarray(perm)] = np.asarray(vals)
         got = np.asarray(unpermute_slots(vals, r, w, h, ndev))
         np.testing.assert_array_equal(ref[:, :r], got, err_msg=str((w, h, ndev)))
+
+
+def test_round_robin_layout_slots_are_screen_coherent():
+    """Guard against the round-5 5.2x cliff regressing: each 512-slot
+    run of the tiled round-robin layout must cover a COMPACT screen
+    region (a few tw x th rects), not a scanline — a 512-pixel
+    row-major run's thin frustum keeps ~5x more super chunks live in
+    the kernel pre-cull."""
+    import numpy as np
+
+    from rendering_tpu.parallel.shard import _round_robin_layout
+    from rendering_tpu.render.raygen import tile_dims
+
+    w, h, ndev = 1920, 1080, 8
+    rp, perm = _round_robin_layout(w * h, ndev, (w, h))
+    perm = np.asarray(perm)
+    tw, th = tile_dims(w, h)
+    for start in (0, 512, rp // 2, rp - 1024):
+        run = perm[start:start + 512]
+        run = run[run < w * h]
+        x, y = run % w, run // w
+        area = (x.max() - x.min() + 1) * (y.max() - y.min() + 1)
+        # 512 pixels cover ceil(512/(tw*th)) tw x th rects (+1 when
+        # unaligned); the bounding box stays within a handful of
+        # tiles, far below a 512x1 scanline's 512-wide extent.
+        n_rects = -(-512 // (tw * th)) + 1
+        assert area <= (n_rects + 1) * tw * th, (start, area)
+        assert (x.max() - x.min() + 1) <= (n_rects + 1) * tw, start
